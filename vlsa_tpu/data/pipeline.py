@@ -1,0 +1,134 @@
+"""Device-feeding pipeline: bucketed padding, batching, background prefetch.
+
+TPU-first replacement for the reference's torch DataLoader + per-bag `.cuda()`
+copies (ref runner/base_handler.py:239-263, vlsa_handler.py:205-206): whole
+mini-batches of bags are padded to a shared bucket length (powers of two, so
+the jitted step compiles once per bucket, not once per bag size) and loaded by
+a background thread that overlaps disk reads with device compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def bucket_length(n: int, min_bucket: int = 256, max_bucket: Optional[int] = None) -> int:
+    """Next power-of-two bucket >= n (bounded below/above)."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    if max_bucket is not None:
+        b = min(b, max_bucket)
+    return b
+
+
+def pad_bag(feats: np.ndarray, target_n: int):
+    """Pad/truncate a `[N, D]` bag to `[target_n, D]` + boolean mask `[target_n]`."""
+    n, d = feats.shape
+    if n >= target_n:
+        return feats[:target_n], np.ones(target_n, np.bool_)
+    out = np.zeros((target_n, d), feats.dtype)
+    out[:n] = feats
+    mask = np.zeros(target_n, np.bool_)
+    mask[:n] = True
+    return out, mask
+
+
+class BagBatcher:
+    """Batch a SurvBagDataset into padded, masked numpy batches.
+
+    Yields dicts with:
+      feats [B, N, D] float32, mask [B, N] bool, t [B] f32, e [B] f32,
+      idx [B] i32 (dataset indices), valid [B] bool (False for tail padding).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, min_bucket: int = 256,
+                 max_bucket: Optional[int] = None, drop_last: bool = False,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.min_bucket = min_bucket
+        self.max_bucket = max_bucket
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _make_batch(self, indices: np.ndarray) -> dict:
+        items = [self.dataset[int(i)] for i in indices]
+        feats_list = [it[1][0] for it in items]
+        labels = np.stack([it[2] for it in items])
+        max_n = max(f.shape[0] for f in feats_list)
+        target_n = bucket_length(max_n, self.min_bucket, self.max_bucket)
+        B = self.batch_size
+        D = feats_list[0].shape[1]
+        feats = np.zeros((B, target_n, D), np.float32)
+        mask = np.zeros((B, target_n), np.bool_)
+        t = np.zeros(B, np.float32)
+        e = np.zeros(B, np.float32)
+        idx = np.full(B, -1, np.int32)
+        valid = np.zeros(B, np.bool_)
+        for j, (f, it) in enumerate(zip(feats_list, items)):
+            feats[j], mask[j] = pad_bag(f, target_n)
+            t[j], e[j] = labels[j, 0], labels[j, 1]
+            idx[j] = int(indices[j])
+            valid[j] = True
+        return {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
+
+    def _batch_indices(self):
+        order = self._order()
+        n = len(order)
+        for start in range(0, n, self.batch_size):
+            chunk = order[start:start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            yield chunk
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        if self.prefetch <= 0:
+            for chunk in self._batch_indices():
+                yield self._make_batch(chunk)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+        error_holder = []
+
+        def producer():
+            try:
+                for chunk in self._batch_indices():
+                    q.put(self._make_batch(chunk))
+            except BaseException as exc:  # surfaced in consumer
+                error_holder.append(exc)
+            finally:
+                q.put(_SENTINEL)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        th.join()
+        if error_holder:
+            raise error_holder[0]
