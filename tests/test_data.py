@@ -1,0 +1,95 @@
+"""Data-layer tests: label converter parity on the bundled TCGA-BLCA table,
+split reading, few-shot sampling, and batch padding invariants."""
+import numpy as np
+import pytest
+
+from vlsa_tpu.data import (
+    MetaSurvData,
+    read_file_data_splitting,
+    SurvBagDataset,
+    FewShotSurvBagDataset,
+    BagBatcher,
+)
+from vlsa_tpu.data.label_converter import calculate_uncensored_time_bins
+
+from conftest import reference_available, add_reference_to_path
+
+TABLE = "assets/data_split/5foldcv/tcga_blca/mahmoodlab_tcga_blca_survival.csv"
+SPLIT = "assets/data_split/5foldcv/tcga_blca/splits_0.csv"
+
+
+def _meta(discrete=True):
+    split = read_file_data_splitting(SPLIT)
+    meta = MetaSurvData(TABLE, data_split=split, verbose=False)
+    if discrete:
+        meta.generate_discrete_label(num_bins=None, use_quantiles=False)
+    return meta, split
+
+
+def test_split_reader():
+    split = read_file_data_splitting(SPLIT)
+    assert "train" in split and "test" in split
+    assert len(split["train"]) > len(split["test"])
+    assert all(isinstance(p, str) for p in split["train"])
+
+
+def test_discrete_label_shape():
+    meta, split = _meta()
+    assert meta.num_bins is not None
+    labels = meta.get_patient_data(split="train", ret_columns=["y_t", "y_e"])
+    assert labels.y_t.min() >= 0 and labels.y_t.max() < meta.num_bins
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_label_converter_parity():
+    add_reference_to_path()
+    from dataset.label_converter import MetaSurvData as RefMeta
+
+    split = read_file_data_splitting(SPLIT)
+    ref = RefMeta(TABLE, data_split=split, verbose=False)
+    ref.generate_discrete_label(num_bins=None, use_quantiles=False, summary=False)
+    meta, _ = _meta()
+    np.testing.assert_allclose(meta.time_bins, ref.time_bins)
+    np.testing.assert_array_equal(
+        meta.pat_data["y_t"].values, ref.pat_data["y_t"].values)
+    # KM-de-censored bins used by the few-shot sampler
+    from dataset.label_converter import calculate_uncensored_time_bins as ref_ub
+    pids = split["train"][:50]
+    np.testing.assert_array_equal(
+        calculate_uncensored_time_bins(pids, meta),
+        ref_ub(pids, ref))
+
+
+def test_bag_dataset_and_batcher_synthetic():
+    meta, split = _meta()
+    pids = split["train"][:10]
+    ds = SurvBagDataset(pids, "synthetic://N=300,D=32,seed=1", "patch", meta)
+    assert len(ds) == 10
+    idx, (feats, _), label = ds[0]
+    assert feats.shape[1] == 32 and label.shape == (2,)
+
+    batcher = BagBatcher(ds, batch_size=4, shuffle=True, seed=0, min_bucket=64)
+    batches = list(batcher)
+    assert len(batches) == 3
+    b0 = batches[0]
+    assert b0["feats"].shape[0] == 4
+    assert b0["feats"].shape[1] % 64 == 0
+    # masks reflect true bag sizes
+    assert b0["mask"].sum() > 0
+    # tail batch has invalid padding rows
+    assert batches[-1]["valid"].sum() == 2
+    # bucket is power-of-two multiple of min
+    n = b0["feats"].shape[1]
+    assert (n & (n - 1)) == 0 or n % 64 == 0
+
+
+def test_few_shot_dataset():
+    meta, split = _meta()
+    pids = split["train"][:80]
+    ds = SurvBagDataset(pids, "synthetic://N=64,D=16,seed=2", "patch", meta)
+    fs = FewShotSurvBagDataset(ds, num_shot=2, seed=0)
+    assert len(fs) <= 2 * meta.num_bins
+    events = np.array([fs.pid2label[u][1] for u in fs.uid])
+    assert events.sum() >= 1
+    idx, (feats, _), label = fs[0]
+    assert feats.shape[1] == 16

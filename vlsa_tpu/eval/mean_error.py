@@ -110,6 +110,8 @@ def mean_error(
         return float(np.average(error_func(errors), weights=weights))
 
     if method == "IPCW-v2":
+        # IPCW-D: event-only errors divided by censoring-KM weight
+        # (ref MeanError.py:266-281)
         ipc_model = KaplanMeierArea(train_event_times, 1 - train_event_indicators)
         ipc_pred = ipc_model.predict(event_times)
         ipc_pred[ipc_pred == 0] = np.inf
@@ -117,13 +119,25 @@ def mean_error(
             errors = np.log(event_times) - np.log(predicted_times)
         else:
             errors = event_times - predicted_times
-        errors = errors * event_indicators / ipc_pred
         if not reduction:
-            return error_func(errors)
-        return float(error_func(errors).mean())
+            return error_func(errors)[event_indicators] / ipc_pred[event_indicators]
+        return float((error_func(errors)[event_indicators] / ipc_pred[event_indicators]).mean())
 
     if method == "Pseudo_obs":
-        # population-mean surrogate for censored subjects (ref lines 325-341)
+        # pseudo-observation surrogate: leave-one-in KM recomputation per
+        # censored subject (ref MeanError.py:282-329)
+        best_guesses = _pseudo_obs_best_guesses(
+            event_times, event_indicators, train_event_times, train_event_indicators, km_model)
+        if log_scale:
+            errors = np.log(best_guesses) - np.log(predicted_times)
+        else:
+            errors = best_guesses - predicted_times
+        if not reduction:
+            return error_func(errors)
+        return float(np.average(error_func(errors), weights=weights))
+
+    if method == "Pseudo_obs_pop":
+        # population-mean surrogate (ref MeanError.py:330-341)
         sub_expect_time = km_model.mean
         best_guesses = event_times.copy().astype(float)
         best_guesses[~event_indicators] = sub_expect_time
@@ -136,3 +150,58 @@ def mean_error(
         return float(np.average(error_func(errors), weights=weights))
 
     raise ValueError(f"Unknown method '{method}'.")
+
+
+def km_mean(times: np.ndarray, survival_probabilities: np.ndarray) -> float:
+    """Mean of a KM curve via trapezoid + linear zero extension
+    (ref eval/SurvivalEVAL/Evaluations/util.py:421-458)."""
+    area_probabilities = np.append(1, survival_probabilities)
+    area_times = np.append(0, times)
+    km_linear_zero = -1 / ((area_probabilities[-1] - 1) / area_times[-1])
+    if survival_probabilities[-1] != 0:
+        area_times = np.append(area_times, km_linear_zero)
+        area_probabilities = np.append(area_probabilities, 0)
+    area_diff = np.diff(area_times, 1)
+    average_probabilities = (area_probabilities[:-1] + area_probabilities[1:]) / 2
+    area = np.flip(np.flip(area_diff * average_probabilities).cumsum())
+    area = np.append(area, 0)
+    probability_index = np.digitize(0, times)
+    surv_prob = np.append(1, survival_probabilities)[probability_index]
+    return area[0] / surv_prob
+
+
+def _pseudo_obs_best_guesses(event_times, event_indicators, train_event_times,
+                             train_event_indicators, km_model: KaplanMeierArea):
+    """Per-censored-subject KM pseudo-observation (ref MeanError.py:282-320)."""
+    n_train = train_event_times.size
+    n_test = event_times.size
+    events = km_model.events.copy()
+    population_counts = km_model.population_count.copy()
+    times = km_model.survival_times.copy()
+    probs = km_model.survival_probabilities.copy()
+    unique_idx = np.where(events != 0)[0]
+    if unique_idx[-1] != len(events) - 1:
+        unique_idx = np.append(unique_idx, len(events) - 1)
+    times = times[unique_idx]
+    population_counts = population_counts[unique_idx]
+    events = events[unique_idx]
+    probs = probs[unique_idx]
+    sub_expect_time = km_mean(times.copy(), probs.copy())
+
+    multiplier = 1 - events / population_counts
+    multiplier_total = 1 - events / (population_counts + 1)
+    best_guesses = event_times.copy().astype(float)
+    for i in range(n_test):
+        if event_indicators[i] != 1:
+            total_multiplier = multiplier.copy()
+            insert_index = np.searchsorted(times, event_times[i], side="right")
+            total_multiplier[:insert_index] = multiplier_total[:insert_index]
+            survival_probabilities = np.cumprod(total_multiplier)
+            if insert_index == len(times):
+                times_addition = np.append(times, event_times[i])
+                surv_addition = np.append(survival_probabilities, survival_probabilities[-1])
+                total_expect_time = km_mean(times_addition, surv_addition)
+            else:
+                total_expect_time = km_mean(times, survival_probabilities)
+            best_guesses[i] = (n_train + 1) * total_expect_time - n_train * sub_expect_time
+    return best_guesses
