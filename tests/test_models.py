@@ -1,0 +1,188 @@
+"""Model-layer tests: coattn op, MIL mask invariance, text-tower parity vs the
+reference torch TextTransformer (loaded standalone), and VLSA assembly."""
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vlsa_tpu.ops import coattn_pool, coattn_pool_reference, masked_topk_mean
+from vlsa_tpu.models import VLFAN, DeepMIL, DSMIL, FeatMIL, logit_pooling
+from vlsa_tpu.models.text_encoder import TextTower, generate_pseudo_tokens
+from vlsa_tpu.utils.torch_import import import_text_tower_state
+
+from conftest import REFERENCE_ROOT, reference_available
+
+RNG = np.random.default_rng(0)
+
+
+def load_ref_file(relpath, name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REFERENCE_ROOT, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _bag(B=2, N=64, D=32):
+    x = RNG.normal(size=(B, N, D)).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    return jnp.array(x), jnp.array(mask)
+
+
+def test_coattn_reference_matches_naive():
+    P, B, N, C = 5, 2, 48, 16
+    q = jnp.array(RNG.normal(size=(P, C)).astype(np.float32))
+    x, mask = _bag(B, N, C)
+    out = coattn_pool_reference(q, x, mask, 10.0)
+    # naive per-batch
+    xn = np.asarray(x) / np.linalg.norm(np.asarray(x), axis=-1, keepdims=True)
+    for b in range(B):
+        logits = 10.0 * np.asarray(q) @ xn[b].T
+        a = np.exp(logits - logits.max(-1, keepdims=True))
+        a = a / a.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(out)[b], a @ np.asarray(x)[b],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_coattn_mask_invariance():
+    P, C = 4, 16
+    q = jnp.array(RNG.normal(size=(P, C)).astype(np.float32))
+    x_small, _ = _bag(1, 32, C)
+    x_pad = jnp.concatenate([x_small, jnp.zeros((1, 32, C))], axis=1)
+    mask = jnp.concatenate([jnp.ones((1, 32), bool), jnp.zeros((1, 32), bool)], axis=1)
+    a = coattn_pool(q, x_small, None, 5.0)
+    b = coattn_pool(q, x_pad, mask, 5.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_coattn_grads_match_reference():
+    P, C = 3, 8
+    q = jnp.array(RNG.normal(size=(P, C)).astype(np.float32))
+    x, mask = _bag(2, 16, C)
+
+    def loss_ref(q_, x_):
+        return jnp.sum(coattn_pool_reference(q_, x_, mask, 7.0) ** 2)
+
+    def loss_op(q_, x_):
+        return jnp.sum(coattn_pool(q_, x_, mask, 7.0) ** 2)
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1))(q, x)
+    g2 = jax.grad(loss_op, argnums=(0, 1))(q, x)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_logit_pooling_variants():
+    N, C = 20, 4
+    logits = jnp.array(RNG.normal(size=(N, C)).astype(np.float32))
+    mask = jnp.array([True] * 15 + [False] * 5)
+    ref = np.asarray(logits)[:15]
+    _, mean_p = logit_pooling(logits, "logit_mean", mask)
+    np.testing.assert_allclose(np.asarray(mean_p), ref.mean(0), rtol=1e-5)
+    _, max_p = logit_pooling(logits, "logit_max", mask)
+    np.testing.assert_allclose(np.asarray(max_p), ref.max(0), rtol=1e-5)
+    _, top5 = logit_pooling(logits, "logit_top5", mask)
+    expect = np.sort(ref, axis=0)[::-1][:5].mean(0)
+    np.testing.assert_allclose(np.asarray(top5), expect, rtol=1e-5)
+    # topk larger than valid count clamps
+    _, top50 = logit_pooling(logits, "logit_top50", mask)
+    np.testing.assert_allclose(np.asarray(top50), ref.mean(0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("pooling", ["attention", "gated_attention", "mean", "max"])
+def test_deepmil_mask_invariance(pooling):
+    x, _ = _bag(2, 40, 24)
+    model = DeepMIL(dim_in=24, dim_hid=16, num_cls=3, pooling=pooling, use_feat_proj=True)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.ones((2, 40), bool))["params"]
+    out_full = model.apply({"params": params}, x, jnp.ones((2, 40), bool))
+    x_pad = jnp.concatenate([x, 100.0 * jnp.ones((2, 24, 24))], axis=1)
+    mask = jnp.concatenate([jnp.ones((2, 40), bool), jnp.zeros((2, 24), bool)], axis=1)
+    out_pad = model.apply({"params": params}, x_pad, mask)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_pad), rtol=2e-4, atol=1e-5)
+
+
+def test_vlfan_mask_invariance_and_divloss():
+    x, _ = _bag(2, 40, 24)
+    model = VLFAN(dim_in=24, dim_hid=16, use_feat_proj=False, query="Parameter",
+                  num_query=6, query_pooling="mean")
+    params = model.init(jax.random.PRNGKey(1), x, jnp.ones((2, 40), bool))["params"]
+    out_full = model.apply({"params": params}, x, jnp.ones((2, 40), bool))
+    x_pad = jnp.concatenate([x, jnp.ones((2, 24, 24))], axis=1)
+    mask = jnp.concatenate([jnp.ones((2, 40), bool), jnp.zeros((2, 24), bool)], axis=1)
+    out_pad = model.apply({"params": params}, x_pad, mask)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_pad), rtol=2e-4, atol=1e-5)
+    div = model.apply({"params": params}, method=lambda m: m.query_div_loss())
+    assert np.isfinite(float(div))
+    # attention output shape
+    feats, attn = model.apply({"params": params}, x, jnp.ones((2, 40), bool),
+                              ret_with_attn=True)
+    assert attn.shape == (2, 6, 40)
+
+
+def test_dsmil_smoke():
+    x, mask = _bag(2, 30, 24)
+    model = DSMIL(dim_in=24, dim_hid=16, num_cls=3, use_feat_proj=False)
+    params = model.init(jax.random.PRNGKey(2), x, mask)["params"]
+    out = model.apply({"params": params}, x, mask)
+    assert out.shape == (2, 3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_conch_text_tower_parity():
+    """Random-weight parity: torch TextTransformer (reference CONCH file) vs
+    our TextTower with imported weights, token-id path with padding."""
+    import torch
+    ref_tf = load_ref_file("model/conch/transformer.py", "ref_conch_transformer")
+    torch.manual_seed(0)
+    tt = ref_tf.TextTransformer(
+        context_length=16, vocab_size=50, width=32, heads=4, layers=2,
+        output_dim=24, embed_cls=True, output_tokens=False)
+    tt.eval()
+
+    tower = TextTower(width=32, heads=4, layers=2, context_length=16,
+                      vocab_size=50, output_dim=24, api="CONCH")
+    params = import_text_tower_state(
+        {k: v.detach().numpy() for k, v in tt.state_dict().items()}, layers=2)
+
+    # token ids [B, 15]: sot, tokens, eot, pads  (pad_id=0)
+    ids = np.zeros((3, 15), np.int64)
+    for i, n in enumerate([5, 9, 13]):
+        ids[i, 0] = 2
+        ids[i, 1:n] = RNG.integers(3, 50, size=n - 1)
+        ids[i, n] = 1  # eot marker position (any nonzero works for pad logic)
+    with torch.no_grad():
+        ref_out = tt(torch.tensor(ids)).numpy()
+    got = tower.apply({"params": params}, prompts_text=jnp.asarray(
+        np.concatenate([ids, np.zeros((3, 1), np.int64)], axis=1)))
+    np.testing.assert_allclose(np.asarray(got), ref_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_clip_text_tower_parity():
+    """Random-weight parity vs the reference CLIP text encoder path."""
+    import torch
+    ref_clip = load_ref_file("model/clip/model.py", "ref_clip_model")
+    torch.manual_seed(1)
+    m = ref_clip.CLIP(
+        embed_dim=24, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, context_length=16, vocab_size=60,
+        transformer_width=32, transformer_heads=4, transformer_layers=2)
+    m = m.float()
+    m.eval()
+
+    tower = TextTower(width=32, heads=4, layers=2, context_length=16,
+                      vocab_size=60, output_dim=24, api="CLIP")
+    state = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+    params = import_text_tower_state(state, layers=2)
+
+    ids = np.zeros((2, 16), np.int64)
+    for i, n in enumerate([6, 12]):
+        ids[i, 0] = 1
+        ids[i, 1:n] = RNG.integers(2, 58, size=n - 1)
+        ids[i, n] = 59  # eot = highest token id
+    with torch.no_grad():
+        ref_out = m.encode_text(torch.tensor(ids)).numpy()
+    got = tower.apply({"params": params}, prompts_text=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), ref_out, rtol=2e-4, atol=2e-5)

@@ -1,0 +1,12 @@
+from .registry import load_model  # noqa: F401
+from .mil import (  # noqa: F401
+    VLFAN,
+    DeepMIL,
+    FeatMIL,
+    MaxMIL,
+    MeanMIL,
+    DSMIL,
+    logit_pooling,
+)
+from .mil_ext import TransMIL, ILRA, DeepAttnMISL, PatchGCN  # noqa: F401
+from .vlsa import VLSA  # noqa: F401

@@ -1,0 +1,6 @@
+from .torch_import import (  # noqa: F401
+    import_text_tower_state,
+    import_vlsa_learnable_state,
+    load_torch_state_dict,
+)
+from .seed import seed_everything  # noqa: F401
