@@ -72,6 +72,12 @@ class VLSA(nn.Module):
             return self.query_adapter()
         return None
 
+    def query_div_loss(self, **kws) -> Array:
+        """Network-owned prompt-diversity regulariser, bound to the QueryDiv
+        loss by the runner (ref runner/vlsa_handler.py:181-187)."""
+        q = self.get_query()
+        return self.mil_encoder.query_div_loss(query=q, **kws)
+
     def encode_instances(self, X, mask=None, train: bool = False,
                          ret_with_attn: bool = False):
         kwargs = {}

@@ -76,7 +76,7 @@ def build_vlsa(
     path_clip_model: Optional[str] = None,
     rng: Optional[jax.Array] = None,
     vl_weights: Optional[dict] = None,
-    example_bag_shape: Tuple[int, int, int] = (1, 256, 512),
+    tower_overrides: Optional[dict] = None,
     **_,
 ):
     """Construct the VLSA module + initialised params.
@@ -91,7 +91,7 @@ def build_vlsa(
 
     tokenizer = Tokenizer(root=path_clip_model, name=text_encoder_cfg.get("name"),
                           api=vlsa_api)
-    tower = make_text_tower(vlsa_api, name=None)
+    tower = make_text_tower(vlsa_api, name=None, **(tower_overrides or {}))
 
     # init (or import) the frozen text-tower params first: any text-feature
     # precompute must use the same weights that end up in the final tree
@@ -174,9 +174,9 @@ def build_vlsa(
         pretrained_text_features=pretrained_text_features,
     )
 
-    B, N, D = example_bag_shape
-    dummy_x = jnp.zeros((B, N, D), jnp.float32)
-    dummy_m = jnp.ones((B, N), bool)
+    D = image_encoder_cfg.get("dim_in", 512)
+    dummy_x = jnp.zeros((1, 256, D), jnp.float32)
+    dummy_m = jnp.ones((1, 256), bool)
     params = model.init(rng_model, dummy_x, dummy_m)["params"]
     if "prompt_encoder" in params:
         params = dict(params)

@@ -1,0 +1,2 @@
+from .factory import create_optimizer, decay_mask, frozen_mask_from_cfg  # noqa: F401
+from .schedulers import EarlyStopping, ReduceLROnPlateau  # noqa: F401

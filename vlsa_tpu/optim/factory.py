@@ -1,0 +1,119 @@
+"""Optimizer factory (optax) with timm-style weight-decay splitting and
+parameter freezing.
+
+Mirrors ref optim/optim_factory.py:25-129 semantics:
+  * parameters with ndim <= 1 (biases, norms, scalars) get no weight decay,
+  * torch-Adam-style *coupled* L2 (decay added to the gradient before the
+    moment update) for `adam`, decoupled for `adamw`,
+  * the reference freezes modules by requires_grad=False
+    (ref utils/func.py:155-176); here frozen subtrees get zero updates via a
+    label mask.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def decay_mask(params) -> dict:
+    """True where weight decay applies (ndim > 1), matching timm's
+    no-decay split of 1-D params/biases (ref optim_factory.py:25-37)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
+
+
+def _base_tx(opt_name: str, lr: float, weight_decay: float, params, **kws):
+    opt_name = opt_name.lower()
+    mask = decay_mask(params)
+    wd = weight_decay or 0.0
+    eps = kws.get("opt_eps") or 1e-8
+    betas = kws.get("opt_betas") or (0.9, 0.999)
+    momentum = kws.get("momentum") or 0.9
+
+    if opt_name in ("adam",):
+        # torch.optim.Adam(weight_decay=wd): L2 added to gradient pre-moments
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+            optax.scale(-lr),
+        )
+    if opt_name in ("adamw",):
+        return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=wd, mask=mask)
+    if opt_name in ("sgd", "nesterov"):
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.sgd(lr, momentum=momentum, nesterov=True),
+        )
+    if opt_name == "momentum":
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.sgd(lr, momentum=momentum, nesterov=False),
+        )
+    if opt_name == "nadam":
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.nadam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    if opt_name == "radam":
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
+    if opt_name == "adadelta":
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.adadelta(lr),
+        )
+    if opt_name == "adafactor":
+        return optax.adafactor(lr)
+    if opt_name in ("rmsprop", "rmsproptf"):
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.rmsprop(lr, decay=0.9, eps=eps, momentum=momentum),
+        )
+    raise ValueError(f"Invalid optimizer: {opt_name}")
+
+
+def create_optimizer(opt_name: str, lr: float, weight_decay: float, params,
+                     frozen: Optional[dict] = None, **kws) -> optax.GradientTransformation:
+    """Build the optimizer; `frozen` is a pytree of bools (True = frozen).
+
+    Wrapped in inject_hyperparams so the host-side ReduceLROnPlateau can
+    rescale the learning rate inside the compiled step.
+    """
+    def make(learning_rate):
+        tx = _base_tx(opt_name, learning_rate, weight_decay, params, **kws)
+        if frozen is not None:
+            labels = jax.tree.map(lambda f: "frozen" if f else "train", frozen)
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, labels)
+        return tx
+
+    return optax.inject_hyperparams(lambda learning_rate: make(learning_rate))(
+        learning_rate=lr)
+
+
+def frozen_mask_from_cfg(params, frozen_paths) -> dict:
+    """Pytree of bools marking frozen subtrees by top-level (or nested
+    'a/b') path names — the runner derives these from the reference's
+    freeze flags (ref runner/vlsa_handler.py:126-149)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        parts = []
+        for p in path:
+            key = getattr(p, "key", None)
+            parts.append(str(key) if key is not None else str(p))
+        return "/".join(parts)
+
+    frozen_leaves = {}
+    for path, leaf in flat:
+        ps = path_str(path)
+        frozen_leaves[ps] = any(ps == fp or ps.startswith(fp + "/")
+                                for fp in frozen_paths)
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [frozen_leaves[path_str(p)] for p, _ in flat])

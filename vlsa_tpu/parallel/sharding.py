@@ -1,0 +1,68 @@
+"""Mesh + sharding layout for multi-chip execution.
+
+The workload's natural axes (SURVEY.md §2.8):
+  * `data`  — bags (patients) shard across chips: pure data parallelism,
+    gradients all-reduce over ICI.
+  * `model` — two tensor dimensions ride this axis:
+      - the text tower's MLP hidden dim (tensor parallel: c_fc row-sharded,
+        c_proj column-sharded, XLA inserts the psum),
+      - the patch axis N of each bag (sequence parallel: the co-attention
+        softmax over N runs as partial-softmax + collective combine, which
+        XLA's SPMD partitioner derives from the sharded einsum).
+
+The reference has no distributed support at all (single GPU, batch=1 —
+ref utils/func.py:189-197); this module is new TPU-native capability.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = np.array(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = devices[: n_data * n_model].reshape(n_data, n_model)
+    return Mesh(devices, ("data", "model"))
+
+
+def batch_pspec(seq_parallel: bool = False) -> dict:
+    """PartitionSpecs for a padded bag batch dict."""
+    n_axis = "model" if seq_parallel else None
+    return {
+        "feats": P("data", n_axis, None),
+        "mask": P("data", n_axis),
+        "t": P("data"),
+        "e": P("data"),
+        "idx": P("data"),
+        "valid": P("data"),
+    }
+
+
+def param_shardings(params, mesh: Mesh, tensor_parallel: bool = True):
+    """NamedSharding tree: replicate everything except the text-tower MLP,
+    whose hidden dimension shards over `model` (tensor parallel)."""
+    def spec_for(path) -> P:
+        names = [str(getattr(p, "key", p)) for p in path]
+        if tensor_parallel and any(n.startswith("resblock_") for n in names):
+            leafname = names[-1]
+            if leafname == "c_fc_weight":
+                return P("model", None)   # [mlp_width, D] row-shard
+            if leafname == "c_fc_bias":
+                return P("model")
+            if leafname == "c_proj_weight":
+                return P(None, "model")   # [D, mlp_width] column-shard
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path)), params)
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
+    shardings = param_shardings(params, mesh, tensor_parallel)
+    return jax.tree.map(jax.device_put, params, shardings)

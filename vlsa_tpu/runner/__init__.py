@@ -1,0 +1,3 @@
+from .base import BaseHandler  # noqa: F401
+from .sa import SAHandler  # noqa: F401
+from .vlsa import VLSAHandler  # noqa: F401
