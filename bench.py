@@ -1,0 +1,117 @@
+"""Benchmark: slides/sec for the flagship VLSA model at 10k-patch bags.
+
+Protocol (matches BASELINE.json's driver metric): each processed slide goes
+through one full *training* step (forward incl. the CONCH-size text tower,
+all losses, backward, optimizer update) AND one inference forward; the metric
+is slides / (t_train + t_infer) per batch, jitted, steady-state, on whatever
+backend is available (real TPU chip under the driver).
+
+Reference denominator (vs_baseline): the upstream repo publishes no
+throughput numbers (ref README.md — hardware only), so the denominator is an
+analytic estimate of the reference configuration on its own hardware, 2x RTX
+3090 used as independent runs => one 3090 per run (ref README.md:35-37):
+  * per-bag cost is dominated by the text tower: the reference re-runs the
+    12-layer/768-wide CONCH tower forward AND backward for every bag
+    (ref model/vlsa.py:181-198 calls forward_text_only inside every net(X);
+    batch_size=1, bp_every_batch=32 sequential bags per update,
+    ref runner/vlsa_handler.py:260-289),
+  * 12 prompts x 128 tokens x ~85M tower params ~= 261 GFLOP forward,
+    ~783 GFLOP with backward, + per-bag HtoD copies and Python dispatch,
+  * one 3090 at a generous 25% fp32 utilisation (8.9 TFLOP/s effective)
+    => ~88 ms/bag => ~11 slides/sec; we round UP to 12.0 slides/sec to keep
+    the reported ratio conservative.
+Our design amortises the text tower over the whole 32-bag batch (identical
+gradients — the per-bag text forwards in the reference are over identical
+parameters), which is where most of the speedup comes from; the rest is the
+fused co-attention kernel + batched MXU-friendly shapes.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SLIDES_PER_SEC = 12.0  # analytic estimate, see module docstring
+B, N, D, K = 32, 10240, 512, 12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _build_flagship
+    from vlsa_tpu.losses import surv_emd, surv_ifmle
+    from vlsa_tpu.optim import create_optimizer
+
+    model, params = _build_flagship(small=False)
+    tx = create_optimizer("adam", 2e-4, 1e-5, params)
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, feats, mask, t, e, rng):
+        def loss_fn(p):
+            logits, _i, _t = model.apply({"params": p}, feats, mask,
+                                         train=True, rngs={"dropout": rng})
+            probs = jax.nn.softmax(logits, axis=-1)
+            ls = jnp.exp(p["logit_scale"])
+            return (surv_ifmle(probs, t, e)
+                    + surv_emd(probs, t, e, ls))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def infer_step(params, feats, mask):
+        logits, _i, _t = model.apply({"params": params}, feats, mask)
+        return logits
+
+    train_jit = jax.jit(train_step, donate_argnums=(0, 1))
+    infer_jit = jax.jit(infer_step)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    mask = jnp.ones((B, N), bool)
+    t = jnp.asarray(rng.integers(0, K, size=B), jnp.int32)
+    e = jnp.asarray(rng.integers(0, 2, size=B), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e, key)
+    jax.block_until_ready(loss)
+    jax.block_until_ready(infer_jit(params, feats, mask))
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e, key)
+    jax.block_until_ready(loss)
+    t_train = (time.perf_counter() - t0) / iters
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = infer_jit(params, feats, mask)
+    jax.block_until_ready(out)
+    t_infer = (time.perf_counter() - t0) / iters
+
+    slides_per_sec = B / (t_train + t_infer)
+    result = {
+        "metric": "slides/sec at 10k-patch bags (train+infer step)",
+        "value": round(slides_per_sec, 2),
+        "unit": "slides/sec",
+        "vs_baseline": round(slides_per_sec / REFERENCE_SLIDES_PER_SEC, 2),
+        "detail": {
+            "train_step_ms": round(t_train * 1e3, 2),
+            "infer_step_ms": round(t_infer * 1e3, 2),
+            "batch_bags": B,
+            "patches_per_bag": N,
+            "backend": jax.default_backend(),
+            "reference_estimate_slides_per_sec": REFERENCE_SLIDES_PER_SEC,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
