@@ -16,7 +16,7 @@ from vlsa_tpu.config import (
     load_config,
     print_config,
 )
-from vlsa_tpu.runner import BaseHandler, SAHandler, VLSAHandler
+from vlsa_tpu.runner import BaseHandler, CLFHandler, SAHandler, VLSAHandler
 
 
 def get_args():
@@ -61,7 +61,7 @@ if __name__ == "__main__":
     cli = get_args()
     config = load_config(cli["config"])
     print_config(config)
-    handler = {"SA": SAHandler, "VLSA": VLSAHandler, "CLF": BaseHandler}[cli["handler"]]
+    handler = {"SA": SAHandler, "VLSA": VLSAHandler, "CLF": CLFHandler}[cli["handler"]]
     if cli["multi_run"]:
         multi_run_main(handler, config, sleep=cli["sleep"])
     else:

@@ -325,8 +325,9 @@ class BaseHandler:
         all_idx = np.concatenate(all_idx)
         all_pred = np.asarray(self.output_converter(jnp.asarray(all_raw)))
         uids = [self.uid["train"][i] for i in all_idx]
-        return {"pred": {"y": all_gt, "raw_y_hat": all_raw, "y_hat": all_pred,
-                         "uid": uids, "name": "train"}}
+        return {"pred": self._finalize_cltor(
+            {"y": all_gt, "raw_y_hat": all_raw, "y_hat": all_pred,
+             "uid": uids, "name": "train"})}
 
     def test_model(self, params, dataset, loader_name, ckpt_path=None):
         if ckpt_path is not None:
@@ -349,8 +350,12 @@ class BaseHandler:
         all_idx = np.concatenate(all_idx)
         all_pred = np.asarray(self.output_converter(jnp.asarray(all_raw)))
         uids = [self.uid[loader_name][i] for i in all_idx]
-        return {"pred": {"y": all_gt, "raw_y_hat": all_raw, "y_hat": all_pred,
-                         "uid": uids, "name": loader_name}}
+        return {"pred": self._finalize_cltor(
+            {"y": all_gt, "raw_y_hat": all_raw, "y_hat": all_pred,
+             "uid": uids, "name": loader_name})}
+
+    def _finalize_cltor(self, cltor: dict) -> dict:
+        return cltor
 
     # ------------------------------------------------------------------ eval
     def _eval_all(self, evals_loader, ckpt_type="best", run_name="train",
