@@ -78,7 +78,7 @@ def _coattn_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref,
 
     q = q_ref[:]                      # [P, C]
     x = x_ref[0]                      # [block_n, C]
-    msk = mask_ref[0]                 # [block_n]
+    msk = mask_ref[0, 0]              # [block_n]
     scale = scale_ref[0, 0]
 
     # row-normalise the patch block (rsqrt on VPU), fused with the logits
@@ -121,7 +121,9 @@ def _coattn_pallas(q: Array, x: Array, mask: Array, scale: Array) -> Array:
         in_specs=[
             pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            # mask rides as [B, 1, N] so the block tile (1, 1, block_n)
+            # satisfies TPU (sublane, lane) constraints
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0),
@@ -138,7 +140,8 @@ def _coattn_pallas(q: Array, x: Array, mask: Array, scale: Array) -> Array:
             transcendentals=B * P_pad * N,
         ),
     )(q.astype(jnp.float32), x.astype(jnp.float32),
-      mask.astype(jnp.float32), jnp.asarray(scale, jnp.float32).reshape(1, 1))
+      mask.astype(jnp.float32)[:, None, :],
+      jnp.asarray(scale, jnp.float32).reshape(1, 1))
     return out[:, :P, :]
 
 
