@@ -1,0 +1,120 @@
+"""Runner-mode coverage: zero-shot, few-shot, Cox head, quantile binning,
+test-only mode, and grid expansion semantics."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vlsa_tpu.config import args_grid
+from vlsa_tpu.runner import SAHandler, VLSAHandler
+
+from test_runner_e2e import base_cfg, make_cohort, vlsa_cfg
+
+
+def test_args_grid_order():
+    cfg = {"a": [1, 2], "b": "x", "c": [0.1, 0.2]}
+    grid = args_grid(cfg)
+    assert len(grid) == 4
+    assert all(g["b"] == "x" for g in grid)
+    combos = {(g["a"], g["c"]) for g in grid}
+    assert combos == {(1, 0.1), (1, 0.2), (2, 0.1), (2, 0.2)}
+
+
+def test_sa_cox_end_to_end(tmp_path):
+    table, split = make_cohort(tmp_path, n_patients=30)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({
+        "loss_type": "SurvPLE",
+        "net_output_converter": None,
+        "net_dims": "64-32-1",
+        "evaluator": "Cox",
+        "time_format": "origin",
+        "epochs": 1,
+    })
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    vals = dict(metrics["test"])
+    assert 0.0 <= vals["pred_c_index"] <= 1.0
+
+
+def test_sa_quantile_bins(tmp_path):
+    table, split = make_cohort(tmp_path, n_patients=40)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({"time_format": "quantile", "epochs": 1})
+    handler = SAHandler(cfg)
+    assert handler.data_meta.label_format == "discrete_quantile"
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])
+
+
+def test_sa_few_shot(tmp_path):
+    table, split = make_cohort(tmp_path, n_patients=40)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({"num_shot": 2, "epochs": 1})
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    # the few-shot train set shrank to <= 2 per bin
+    assert len(handler.uid["train"]) <= 2 * handler.data_meta.num_bins
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])
+
+
+def test_vlsa_zero_shot(tmp_path):
+    table, split = make_cohort(tmp_path, n_patients=24)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({
+        "num_shot": 0,  # zero-shot: training skipped (ref base_handler.py:270-273)
+        "vlsa_img_encoder_name": "FeatMIL",
+        "vlsa_img_encoder_pooling": "logit_top5",
+        "save_path": str(tmp_path / "result-zs"),
+    })
+    handler = VLSAHandler(cfg)
+    metrics = handler.exec()
+    assert set(metrics.keys()) == {"test"}
+    vals = dict(metrics["test"])
+    assert 0.0 <= vals["pred_c_index"] <= 1.0
+
+
+def test_vlsa_adapter_learner(tmp_path):
+    """Adapter-style prompt learner (TaskRes over frozen prototype features)."""
+    table, split = make_cohort(tmp_path, n_patients=24)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({
+        "save_path": str(tmp_path / "result-adapter"),
+        # the template-prompt asset carries 4 ordinal class names, so the
+        # adapter path requires time_bins == 4 (same constraint as the ref)
+        "time_bins": 4,
+        "vlsa_pmt_learner_name": "Adapter",
+        "vlsa_pmt_learner_adapter_method": "TaskRes",
+        "vlsa_pmt_learner_adapter_num_ranks": None,
+        "vlsa_pmt_learner_adapter_res_ratio": 0.5,
+        "vlsa_pmt_learner_adapter_init_prompt_path":
+            "vlsa_tpu/assets/tools/survival_template_prompts.json",
+        "vlsa_pmt_learner_adapter_init_prompt_rank_idx": 0,
+        "vlsa_pmt_learner_adapter_init_prompt_context_idx": 0,
+        "epochs": 1,
+    })
+    handler = VLSAHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])
+
+
+def test_exec_test_mode(tmp_path):
+    """test=True path reloads a trained checkpoint and evaluates only."""
+    table, split = make_cohort(tmp_path, n_patients=24)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg["epochs"] = 1
+    SAHandler(dict(cfg)).exec()
+
+    test_cfg = dict(cfg)
+    test_cfg.update({
+        "test": True,
+        "test_load_path": cfg["save_path"],
+        "test_save_path": str(tmp_path / "test-out"),
+        "test_path": "test",
+        "ckpt_for_eval": "last",
+    })
+    handler = SAHandler(test_cfg)
+    metrics = handler.exec_test()
+    assert "exec-test" in metrics
+    assert np.isfinite(dict(metrics["exec-test"])["pred_loss"])

@@ -48,7 +48,7 @@ class BagBatcher:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, min_bucket: int = 256,
                  max_bucket: Optional[int] = None, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, fixed_bucket: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -57,6 +57,9 @@ class BagBatcher:
         self.max_bucket = max_bucket
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # fixed_bucket pads every batch to ONE length: a single XLA program
+        # per step function (recommended on hardware — compiles are expensive)
+        self.fixed_bucket = fixed_bucket
         self._epoch = 0
 
     def __len__(self):
@@ -77,7 +80,10 @@ class BagBatcher:
         feats_list = [it[1][0] for it in items]
         labels = np.stack([it[2] for it in items])
         max_n = max(f.shape[0] for f in feats_list)
-        target_n = bucket_length(max_n, self.min_bucket, self.max_bucket)
+        if self.fixed_bucket is not None:
+            target_n = self.fixed_bucket
+        else:
+            target_n = bucket_length(max_n, self.min_bucket, self.max_bucket)
         B = self.batch_size
         D = feats_list[0].shape[1]
         feats = np.zeros((B, target_n, D), np.float32)

@@ -203,6 +203,7 @@ class BaseHandler:
             shuffle=shuffle, seed=cfg["seed"],
             min_bucket=cfg.get("min_bucket", 256),
             max_bucket=cfg.get("max_bucket"),
+            fixed_bucket=cfg.get("fixed_bucket"),
             prefetch=cfg.get("prefetch", 2),
         )
 
