@@ -41,11 +41,13 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    import os
     from __graft_entry__ import _build_flagship
     from vlsa_tpu.losses import surv_emd, surv_ifmle
     from vlsa_tpu.optim import create_optimizer
 
-    model, params = _build_flagship(small=False)
+    dtype = os.environ.get("VLSA_TPU_BENCH_DTYPE", "bfloat16")
+    model, params = _build_flagship(small=False, tower_dtype=dtype)
     tx = create_optimizer("adam", 2e-4, 1e-5, params)
     opt_state = tx.init(params)
 
@@ -107,6 +109,7 @@ def main():
             "batch_bags": B,
             "patches_per_bag": N,
             "backend": jax.default_backend(),
+            "tower_compute_dtype": dtype,
             "reference_estimate_slides_per_sec": REFERENCE_SLIDES_PER_SEC,
         },
     }

@@ -39,14 +39,18 @@ def _quick_gelu(x):
 class TorchMultiheadAttention(nn.Module):
     """torch nn.MultiheadAttention semantics with additive attention mask.
 
-    mask: [L, L] or [K, 1, L, L] additive (-inf excluded)."""
+    mask: [L, L] or [K, 1, L, L] additive (-inf excluded).
+    `compute_dtype` runs the matmuls in bf16 on the MXU (f32 accumulation);
+    softmax stays f32."""
     width: int
     heads: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array, attn_mask: Optional[Array] = None) -> Array:
         D, H = self.width, self.heads
         hd = D // H
+        cdt = jnp.dtype(self.compute_dtype)
         attn_std = D ** -0.5
         proj_std = (D ** -0.5) * ((2 * 12) ** -0.5)
         in_w = self.param("in_proj_weight", nn.initializers.normal(attn_std), (3 * D, D))
@@ -55,23 +59,27 @@ class TorchMultiheadAttention(nn.Module):
         out_b = self.param("out_proj_bias", nn.initializers.zeros, (D,))
 
         K_, L, _ = x.shape
-        qkv = x @ in_w.T + in_b          # [K, L, 3D]
+        qkv = jnp.dot(x.astype(cdt), in_w.T.astype(cdt),
+                      preferred_element_type=jnp.float32) + in_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             return t.reshape(K_, L, H, hd).transpose(0, 2, 1, 3)  # [K, H, L, hd]
 
         q, k, v = heads(q), heads(k), heads(v)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
         if attn_mask is not None:
             if attn_mask.ndim == 2:
                 logits = logits + attn_mask[None, None]
             else:
                 logits = logits + attn_mask  # [K, 1, L, L] broadcast over heads
         attn = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(cdt), v.astype(cdt),
+                         preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(K_, L, D)
-        return ctx @ out_w.T + out_b
+        return jnp.dot(ctx.astype(cdt), out_w.T.astype(cdt),
+                       preferred_element_type=jnp.float32) + out_b
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -80,6 +88,7 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     quick_gelu: bool = False  # OpenAI CLIP uses x*sigmoid(1.702x)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array, attn_mask: Optional[Array] = None) -> Array:
@@ -88,14 +97,20 @@ class ResidualAttentionBlock(nn.Module):
         fc_std = (2 * D) ** -0.5
         proj_std = (D ** -0.5) * ((2 * 12) ** -0.5)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
-        x = x + TorchMultiheadAttention(D, self.heads, name="attn")(h, attn_mask)
+        x = x + TorchMultiheadAttention(D, self.heads,
+                                        compute_dtype=self.compute_dtype,
+                                        name="attn")(h, attn_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         c_fc_w = self.param("c_fc_weight", nn.initializers.normal(fc_std), (mlp_width, D))
         c_fc_b = self.param("c_fc_bias", nn.initializers.zeros, (mlp_width,))
         c_proj_w = self.param("c_proj_weight", nn.initializers.normal(proj_std), (D, mlp_width))
         c_proj_b = self.param("c_proj_bias", nn.initializers.zeros, (D,))
         act = _quick_gelu if self.quick_gelu else _gelu
-        x = x + (act(h @ c_fc_w.T + c_fc_b) @ c_proj_w.T + c_proj_b)
+        cdt = jnp.dtype(self.compute_dtype)
+        hid = act(jnp.dot(h.astype(cdt), c_fc_w.T.astype(cdt),
+                          preferred_element_type=jnp.float32) + c_fc_b)
+        x = x + (jnp.dot(hid.astype(cdt), c_proj_w.T.astype(cdt),
+                         preferred_element_type=jnp.float32) + c_proj_b)
         return x
 
 
@@ -133,6 +148,7 @@ class TextTower(nn.Module):
         quick = self.api in ("CLIP", "HF")  # OpenAI/HF CLIP towers use QuickGELU
         self.blocks = [
             ResidualAttentionBlock(self.width, self.heads, quick_gelu=quick,
+                                   compute_dtype=self.dtype,
                                    name=f"resblock_{i}")
             for i in range(self.layers)
         ]

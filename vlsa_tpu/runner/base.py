@@ -33,6 +33,7 @@ from ..eval import load_evaluator
 from ..losses import load_loss
 from ..optim import EarlyStopping, ReduceLROnPlateau, create_optimizer
 from ..utils import seed_everything
+from ..utils.observability import JsonlLogger, configure_debug, maybe_profile
 from .ckpt import add_prefix_to_filename, load_checkpoint, merge_params, save_checkpoint
 from .engine import TrainEngine, make_objective, make_output_converter
 
@@ -56,6 +57,7 @@ class BaseHandler:
 
     def __init__(self, cfg: dict):
         seed_everything(cfg["seed"])
+        configure_debug(cfg)
         self.rng = jax.random.PRNGKey(cfg["seed"])
 
         dataset_name = cfg["dataset_name"]
@@ -102,6 +104,7 @@ class BaseHandler:
         self.config_path = osp.join(base, "print_config.txt")
         self.config_yaml = osp.join(base, "config.yaml")
         self.writer = _maybe_wandb(cfg, run_name)
+        self.jsonl = JsonlLogger(osp.join(base, "metrics.jsonl"))
         print(f"[setup] path to save: {base}")
 
         # Data setup
@@ -272,10 +275,13 @@ class BaseHandler:
         for epoch in range(epochs):
             last_epoch = epoch + 1
             t0 = time.time()
-            train_cltor = self._train_each_epoch(epoch + 1, train_batcher, step_fn)
+            with maybe_profile(cfg.get("profile_dir") if epoch == 1 else None):
+                train_cltor = self._train_each_epoch(epoch + 1, train_batcher, step_fn)
             dt = time.time() - t0
-            print(f"[train] epoch {epoch+1}/{epochs}: "
-                  f"{len(train_set)/max(dt,1e-9):.2f} slides/sec")
+            sps = len(train_set) / max(dt, 1e-9)
+            print(f"[train] epoch {epoch+1}/{epochs}: {sps:.2f} slides/sec")
+            self.jsonl.log({"event": "epoch", "epoch": epoch + 1,
+                            "slides_per_sec": sps, "wall_sec": dt})
             for k_c, v_c in train_cltor.items():
                 self._eval_and_print(v_c, name=f"{name_loader}/{k_c}", at_epoch=epoch + 1)
 
@@ -406,6 +412,7 @@ class BaseHandler:
               " ".join(f"{k}={v:.6f}," for k, v in results.items()))
         if self.writer is not None:
             self.writer.log(results)
+        self.jsonl.log({"event": "eval", "at": str(at_epoch), **results})
         return [results[name + "/" + k] for k in self.ret_metrics]
 
     # ------------------------------------------------------------------ ckpt

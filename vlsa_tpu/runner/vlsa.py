@@ -139,4 +139,5 @@ class VLSAHandler(BaseHandler):
               " ".join(f"{k}={v:.6f}," for k, v in results.items()))
         if self.writer is not None:
             self.writer.log(results)
+        self.jsonl.log({"event": "eval", "at": str(at_epoch), **results})
         return [results[name + "/" + k] for k in self.ret_metrics]

@@ -4,3 +4,4 @@ from .torch_import import (  # noqa: F401
     load_torch_state_dict,
 )
 from .seed import seed_everything  # noqa: F401
+from .observability import JsonlLogger, configure_debug, maybe_profile  # noqa: F401
