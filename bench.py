@@ -33,7 +33,9 @@ import time
 import numpy as np
 
 REFERENCE_SLIDES_PER_SEC = 12.0  # analytic estimate, see module docstring
-B, N, D, K = 32, 10240, 512, 12
+import os as _os
+B = int(_os.environ.get("VLSA_TPU_BENCH_B", 32))
+N, D, K = 10240, 512, 12
 
 
 def main():

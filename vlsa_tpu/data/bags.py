@@ -53,6 +53,17 @@ class SurvBagDataset:
             feats.append(read_patch_data(full_path).astype(np.float32))
         return np.concatenate(feats, axis=0)
 
+    def bag_paths(self, index: int):
+        """Per-bag .npy file list for the native loader (None when the store
+        is not native-readable)."""
+        if self.read_format != "npy" or str(self.read_path).startswith(SYNTHETIC_PREFIX):
+            return None
+        pid = self.pids[index]
+        return [osp.join(self.read_path, sid + ".npy") for sid in self.pid2sids[pid]]
+
+    def bag_label(self, index: int):
+        return np.asarray(self.pid2label[self.pids[index]], dtype=np.float32)
+
     def __getitem__(self, index: int):
         pid = self.pids[index]
         sids = self.pid2sids[pid]

@@ -76,6 +76,9 @@ class BagBatcher:
         return np.arange(n)
 
     def _make_batch(self, indices: np.ndarray) -> dict:
+        native = self._try_native_batch(indices)
+        if native is not None:
+            return native
         items = [self.dataset[int(i)] for i in indices]
         feats_list = [it[1][0] for it in items]
         labels = np.stack([it[2] for it in items])
@@ -98,6 +101,52 @@ class BagBatcher:
             idx[j] = int(indices[j])
             valid[j] = True
         return {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
+
+    def _try_native_batch(self, indices):
+        """Native C++ threaded assembly for .npy feature stores."""
+        ds = self.dataset
+        if not hasattr(ds, "bag_paths"):
+            return None
+        groups = [ds.bag_paths(int(i)) for i in indices]
+        if any(g is None for g in groups):
+            return None
+        try:
+            from .native_loader import assemble_batch, native_available, read_npy_info
+            if not native_available():
+                return None
+            if self.fixed_bucket is not None:
+                target_n = self.fixed_bucket
+                dim = read_npy_info(groups[0][0])[1]
+            else:
+                sizes, dim = [], None
+                for g in groups:
+                    n = 0
+                    for path in g:
+                        r, c = read_npy_info(path)
+                        n += r
+                        dim = c
+                    sizes.append(n)
+                target_n = bucket_length(max(sizes), self.min_bucket, self.max_bucket)
+            B = self.batch_size
+            feats_n, mask_n, lens = assemble_batch(groups, target_n, dim)
+            feats = np.zeros((B, target_n, dim), np.float32)
+            mask = np.zeros((B, target_n), np.bool_)
+            feats[:len(groups)] = feats_n
+            mask[:len(groups)] = mask_n
+            t = np.zeros(B, np.float32)
+            e = np.zeros(B, np.float32)
+            idx = np.full(B, -1, np.int32)
+            valid = np.zeros(B, np.bool_)
+            for j, i in enumerate(indices):
+                lab = ds.bag_label(int(i))
+                t[j], e[j] = lab[0], lab[1]
+                idx[j] = int(i)
+                valid[j] = True
+            return {"feats": feats, "mask": mask, "t": t, "e": e,
+                    "idx": idx, "valid": valid}
+        except Exception as exc:
+            print(f"[BagBatcher] native path failed ({exc}); using numpy")
+            return None
 
     def _batch_indices(self):
         order = self._order()
