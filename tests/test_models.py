@@ -186,3 +186,33 @@ def test_clip_text_tower_parity():
         ref_out = m.encode_text(torch.tensor(ids)).numpy()
     got = tower.apply({"params": params}, prompts_text=jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_coattn_pallas_kernels_interpret():
+    """Fused fwd+bwd Pallas kernels vs the XLA reference, in interpreter mode
+    (runs on CPU; the same code path compiles on TPU)."""
+    import vlsa_tpu.ops.coattn as co
+    old = co.INTERPRET
+    co.INTERPRET = True
+    try:
+        rng = np.random.default_rng(0)
+        P, B, N, C = 5, 2, 512, 32
+        q = jnp.asarray(rng.normal(size=(P, C)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+        mask = jnp.asarray(np.concatenate(
+            [np.ones((B, N - 100)), np.zeros((B, 100))], 1).astype(bool))
+        out_k = co._coattn_pool_tpu(q, x, mask, jnp.float32(20.0))
+        out_r = co.coattn_pool_reference(q, x, mask, 20.0)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-5)
+        g_k = jax.grad(lambda q_, x_: jnp.sum(
+            co._coattn_pool_tpu(q_, x_, mask, jnp.float32(20.0)) ** 2),
+            argnums=(0, 1))(q, x)
+        g_r = jax.grad(lambda q_, x_: jnp.sum(
+            co.coattn_pool_reference(q_, x_, mask, 20.0) ** 2),
+            argnums=(0, 1))(q, x)
+        for a, b in zip(g_k, g_r):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+            assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+    finally:
+        co.INTERPRET = old

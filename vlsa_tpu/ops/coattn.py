@@ -8,13 +8,19 @@ tens of thousands) against P<=16 text-derived queries:
 (ref: model/deepmil.py:185-204 — computed there as three separate torch ops
 materialising the [P, N] attention matrix in HBM).
 
-TPU-first design: a Pallas kernel streams X through VMEM once per bag,
-computing the row norms, the scaled logits, an online (flash-style) softmax
-over N-blocks, and the PV accumulation in a single pass — nothing of size
-O(N) is ever written back to HBM.  The backward pass recomputes through the
-jnp reference implementation (cheap: P is tiny), keeping gradients exact.
+TPU-first design, both directions fused in Pallas:
+  * forward: stream X through VMEM once per bag — row norms, scaled logits,
+    online (flash-style) softmax over N-blocks, PV accumulation; emits the
+    softmax stats (running max m, normaliser l) for the backward.
+  * backward: one more streaming pass.  The softmax-Jacobian row term
+    S[p] = sum_n A[p,n] * (g[p].X[n]) collapses to g[p].out[p] (out = A@X),
+    so no extra reduction pass is needed; each block recomputes its logits
+    from (m, l), forms dlogits, and accumulates
+        dX = A^T g + (I - Xn Xn^T)/r . (s * dlogits^T Q)
+        dQ = s * dlogits @ Xn         (accumulated across the whole grid)
+    Nothing of size O(N) beyond dX itself touches HBM.
 
-`coattn_pool` is the public entry: Pallas on TPU, jnp elsewhere.
+`coattn_pool` is the public entry: Pallas on TPU, pure-XLA elsewhere.
 """
 from __future__ import annotations
 
@@ -37,6 +43,8 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 _BLOCK_N = 256
+_STATS_LANES = 128
+INTERPRET = False  # set True (tests) to run the kernels in interpreter mode  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 
 
 def coattn_pool_reference(q: Array, x: Array, mask: Optional[Array], scale) -> Array:
@@ -58,16 +66,12 @@ def coattn_attention_reference(q: Array, x: Array, mask: Optional[Array], scale)
 
 
 # ---------------------------------------------------------------------------
-# Pallas TPU kernel
+# Pallas TPU kernels
 # ---------------------------------------------------------------------------
 
-def _coattn_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref,
-                   m_scr, l_scr, acc_scr, *, block_n: int, n_blocks: int):
-    """One (batch, n-block) grid step of the fused pass.
-
-    Scratch m/l/acc persist across the sequential N-block dimension:
-      m [P, 1] running max, l [P, 1] running sum, acc [P, C] running PV.
-    """
+def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
+                       m_scr, l_scr, acc_scr, *, n_blocks: int):
+    """Grid (B, nN); scratch persists across the sequential N dimension."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -77,58 +81,119 @@ def _coattn_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[:]                      # [P, C]
-    x = x_ref[0]                      # [block_n, C]
-    msk = mask_ref[0, 0]              # [block_n]
+    x = x_ref[0]                      # [bn, C]
+    msk = mask_ref[0, 0]              # [bn]
     scale = scale_ref[0, 0]
 
-    # row-normalise the patch block (rsqrt on VPU), fused with the logits
-    sq = jnp.sum(x * x, axis=-1, keepdims=True)          # [bn, 1]
-    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))          # [bn, 1]
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
     xn = x * inv
-    logits = scale * jnp.dot(q, xn.T, preferred_element_type=jnp.float32)  # [P, bn]
+    logits = scale * jnp.dot(q, xn.T, preferred_element_type=jnp.float32)
     logits = jnp.where(msk[None, :] > 0, logits, -1e30)
 
-    m_prev = m_scr[:]                                     # [P, 1]
+    m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
     correction = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)                           # [P, bn]
+    p = jnp.exp(logits - m_new)
     p = jnp.where(msk[None, :] > 0, p, 0.0)
     l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + jnp.dot(
-        p, x, preferred_element_type=jnp.float32)         # [P, C] (PV uses raw x)
+        p, x, preferred_element_type=jnp.float32)
     m_scr[:] = m_new
 
     @pl.when(i == n_blocks - 1)
     def _finalize():
-        out_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        l_safe = jnp.maximum(l_scr[:], 1e-30)
+        out_ref[0] = acc_scr[:] / l_safe
+        P_pad = m_scr.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (P_pad, _STATS_LANES), 1)
+        stats = jnp.where(lane == 0, m_scr[:], 0.0) + jnp.where(lane == 1, l_safe, 0.0)
+        stats_ref[0] = stats
 
 
-def _coattn_pallas(q: Array, x: Array, mask: Array, scale: Array) -> Array:
-    B, N, C = x.shape
+def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
+                       stats_ref, dx_ref, dq_ref, dq_scr, *, n_blocks: int):
+    """Grid (B, nN); dq accumulates in scratch across the ENTIRE grid."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_b = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[:]                      # [P, C]
+    x = x_ref[0]                      # [bn, C]
+    msk = mask_ref[0, 0]              # [bn]
+    scale = scale_ref[0, 0]
+    g = g_ref[0]                      # [P, C]
+    out = out_ref[0]                  # [P, C]
+    m = stats_ref[0][:, 0:1]          # [P, 1]
+    l = stats_ref[0][:, 1:2]          # [P, 1]
+
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)          # [bn, 1]
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    xn = x * inv
+    logits = scale * jnp.dot(q, xn.T, preferred_element_type=jnp.float32)
+    logits = jnp.where(msk[None, :] > 0, logits, -1e30)
+    a = jnp.exp(logits - m) / l                           # [P, bn]
+    a = jnp.where(msk[None, :] > 0, a, 0.0)
+
+    # dA[p, n] = g[p] . x[n];  S[p] = g[p] . out[p]
+    da = jnp.dot(g, x.T, preferred_element_type=jnp.float32)       # [P, bn]
+    s_row = jnp.sum(g * out, axis=-1, keepdims=True)               # [P, 1]
+    dlogits = a * (da - s_row)                                     # [P, bn]
+
+    # dX = A^T g  +  (dxn - xn (xn . dxn)) * inv
+    dxn = scale * jnp.dot(dlogits.T, q, preferred_element_type=jnp.float32)  # [bn, C]
+    proj = jnp.sum(xn * dxn, axis=-1, keepdims=True)               # [bn, 1]
+    dx = jnp.dot(a.T, g, preferred_element_type=jnp.float32) \
+        + (dxn - xn * proj) * inv
+    dx_ref[0] = dx
+
+    dq_scr[:] = dq_scr[:] + scale * jnp.dot(
+        dlogits, xn, preferred_element_type=jnp.float32)           # [P, C]
+
+    @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
+    def _finalize():
+        dq_ref[:] = dq_scr[:]
+
+
+def _pad_q(q):
     P = q.shape[0]
-    block_n = min(_BLOCK_N, N)
-    assert N % block_n == 0, f"bag length {N} must be a multiple of {block_n}"
-    n_blocks = N // block_n
-    # pad P up to the f32 sublane count so the [P, C] tiles are well-formed
     P_pad = max(8, int(np.ceil(P / 8)) * 8)
     if P_pad != P:
         q = jnp.pad(q, ((0, P_pad - P), (0, 0)))
+    return q, P, P_pad
 
-    kernel = functools.partial(_coattn_kernel, block_n=block_n, n_blocks=n_blocks)
-    out = pl.pallas_call(
+
+def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array):
+    B, N, C = x.shape
+    block_n = min(_BLOCK_N, N)
+    assert N % block_n == 0, f"bag length {N} must be a multiple of {block_n}"
+    n_blocks = N // block_n
+    q, P, P_pad = _pad_q(q)
+
+    kernel = functools.partial(_coattn_fwd_kernel, n_blocks=n_blocks)
+    out, stats = pl.pallas_call(
         kernel,
+        interpret=INTERPRET,
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            # mask rides as [B, 1, N] so the block tile (1, 1, block_n)
-            # satisfies TPU (sublane, lane) constraints
             pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, P_pad, C), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, _STATS_LANES), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, P_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, P_pad, _STATS_LANES), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((P_pad, 1), jnp.float32),
             pltpu.VMEM((P_pad, 1), jnp.float32),
@@ -142,28 +207,71 @@ def _coattn_pallas(q: Array, x: Array, mask: Array, scale: Array) -> Array:
     )(q.astype(jnp.float32), x.astype(jnp.float32),
       mask.astype(jnp.float32)[:, None, :],
       jnp.asarray(scale, jnp.float32).reshape(1, 1))
+    return out, stats, P, P_pad
+
+
+def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
+    B, N, C = x.shape
+    block_n = min(_BLOCK_N, N)
+    n_blocks = N // block_n
+    P_pad = q_pad.shape[0]
+
+    kernel = functools.partial(_coattn_bwd_kernel, n_blocks=n_blocks)
+    dx, dq = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, _STATS_LANES), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((P_pad, C), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((P_pad, C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * N * C * P_pad,
+            bytes_accessed=4 * (2 * B * N * C + 3 * B * P_pad * C),
+            transcendentals=B * P_pad * N,
+        ),
+    )(q_pad, x.astype(jnp.float32), mask.astype(jnp.float32)[:, None, :],
+      jnp.asarray(scale, jnp.float32).reshape(1, 1), g_pad, out_pad, stats)
+    return dx, dq
+
+
+@jax.custom_vjp
+def _coattn_pool_tpu(q, x, mask, scale):
+    out, _stats, P, _P_pad = _coattn_pallas_fwd(q, x, mask, scale)
     return out[:, :P, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _coattn_pool_tpu(q, x, mask, scale):
-    return _coattn_pallas(q, x, mask, scale)
+def _coattn_fwd_rule(q, x, mask, scale):
+    out, stats, P, P_pad = _coattn_pallas_fwd(q, x, mask, scale)
+    q_pad, _, _ = _pad_q(q)
+    return out[:, :P, :], (q_pad, x, mask, scale, out, stats, P)
 
 
-def _coattn_fwd(q, x, mask, scale):
-    return _coattn_pallas(q, x, mask, scale), (q, x, mask, scale)
+def _coattn_bwd_rule(res, g):
+    q_pad, x, mask, scale, out_pad, stats, P = res
+    P_pad = q_pad.shape[0]
+    g_pad = jnp.pad(g, ((0, 0), (0, P_pad - P), (0, 0))) if P_pad != P else g
+    dx, dq = _coattn_pallas_bwd(q_pad.astype(jnp.float32), x, mask, scale,
+                                g_pad.astype(jnp.float32), out_pad, stats)
+    return dq[:P], dx, None, None
 
 
-def _coattn_bwd(res, g):
-    q, x, mask, scale = res
-    # exact gradients by recomputation through the XLA reference path;
-    # the recompute is one extra streaming pass over X
-    _, vjp = jax.vjp(lambda q_, x_, s_: coattn_pool_reference(q_, x_, mask, s_), q, x, scale)
-    dq, dx, ds = vjp(g)
-    return dq, dx, None, ds
-
-
-_coattn_pool_tpu.defvjp(_coattn_fwd, _coattn_bwd)
+_coattn_pool_tpu.defvjp(_coattn_fwd_rule, _coattn_bwd_rule)
 
 
 def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
@@ -173,6 +281,9 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
     q [P, C] effective queries (already l2-normalised and gate-combined),
     x [B, N, C] raw patch features, mask [B, N] validity, scale scalar.
     Returns [B, P, C].
+
+    Note: `scale` is treated as a constant in the Pallas path (the VLFAN
+    co-attention scale is a frozen buffer, ref deepmil.py:121-126).
     """
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() == "tpu"
