@@ -183,7 +183,8 @@ class BaseHandler:
                                    make_output_converter(cfg.get("net_output_converter")),
                                    uses_vl=self.uses_vl)
         return TrainEngine(self.model, self.tx, objective, uses_vl=self.uses_vl,
-                           has_query_div="QueryDiv" in self.loss)
+                           has_query_div="QueryDiv" in self.loss,
+                           accum_steps=cfg.get("accum_steps", 1))
 
     uses_vl = False
 

@@ -58,13 +58,16 @@ class TrainEngine:
 
     def __init__(self, model, tx, objective, uses_vl: bool,
                  has_query_div: bool = False, mesh: Optional[Mesh] = None,
-                 donate: bool = True):
+                 donate: bool = True, accum_steps: int = 1):
         self.model = model
         self.tx = tx
         self.objective = objective
         self.uses_vl = uses_vl
         self.has_query_div = has_query_div
         self.mesh = mesh
+        # accum_steps > 1: lax.scan over microbatches inside the jitted step
+        # (memory headroom for very long bags; same averaged gradient)
+        self.accum_steps = accum_steps
         self._train_step = None
         self._eval_step = None
 
@@ -89,25 +92,54 @@ class TrainEngine:
         model, objective = self.model, self.objective
         uses_vl, has_qd = self.uses_vl, self.has_query_div
         tx = self.tx
+        accum = self.accum_steps
 
-        @jax.jit
-        def step(params, opt_state, batch, rng):
-            def loss_fn(p):
-                out = model.apply({"params": p}, batch["feats"], batch["mask"],
-                                  train=True, rngs={"dropout": rng})
-                raw = out[0] if isinstance(out, tuple) else out
-                ls = jnp.exp(p["logit_scale"]) if uses_vl else None
-                qd = (lambda: model.apply({"params": p}, method=model.query_div_loss)) \
-                    if has_qd else None
-                sm = batch["valid"].astype(raw.dtype)
-                loss = objective(raw, batch["t"], batch["e"], sm,
-                                 logit_scale=ls, query_div_fn=qd)
-                return loss, raw
+        def loss_fn(p, batch, rng):
+            out = model.apply({"params": p}, batch["feats"], batch["mask"],
+                              train=True, rngs={"dropout": rng})
+            raw = out[0] if isinstance(out, tuple) else out
+            ls = jnp.exp(p["logit_scale"]) if uses_vl else None
+            qd = (lambda: model.apply({"params": p}, method=model.query_div_loss)) \
+                if has_qd else None
+            sm = batch["valid"].astype(raw.dtype)
+            loss = objective(raw, batch["t"], batch["e"], sm,
+                             logit_scale=ls, query_div_fn=qd)
+            return loss, raw
 
-            (loss, raw), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, new_opt_state = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt_state, loss, raw
+        if accum <= 1:
+            @jax.jit
+            def step(params, opt_state, batch, rng):
+                (loss, raw), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch, rng)
+                updates, new_opt_state = tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                return new_params, new_opt_state, loss, raw
+        else:
+            @jax.jit
+            def step(params, opt_state, batch, rng):
+                B = batch["feats"].shape[0]
+                assert B % accum == 0, "batch not divisible by accum_steps"
+                mb = B // accum
+                stacked = jax.tree.map(
+                    lambda v: v.reshape((accum, mb) + v.shape[1:]), batch)
+                rngs = jax.random.split(rng, accum)
+
+                def scan_body(carry, xs):
+                    micro, r = xs
+                    (loss, raw), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params, micro, r)
+                    acc_grads, acc_loss = carry
+                    acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                    return (acc_grads, acc_loss + loss), raw
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (grads, loss_sum), raws = jax.lax.scan(
+                    scan_body, (zero, 0.0), (stacked, rngs))
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                updates, new_opt_state = tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                raw = raws.reshape((B,) + raws.shape[2:])
+                return new_params, new_opt_state, loss_sum / accum, raw
 
         self._train_step = step
         return step
