@@ -216,3 +216,33 @@ def test_coattn_pallas_kernels_interpret():
             assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
     finally:
         co.INTERPRET = old
+
+
+def test_vlfan_gated_query_algebra():
+    """Gated query: logits = (Qn_i - Qn_gate) . Xn — folding the gate into
+    the query matrix (linear) must equal explicit subtraction
+    (ref deepmil.py:192-197)."""
+    P, C, N = 5, 16, 32
+    x, mask = _bag(1, N, C)
+    model = VLFAN(dim_in=C, dim_hid=8, use_feat_proj=False, query="Parameter",
+                  num_query=P, gated_query=True, query_pooling="mean")
+    params = model.init(jax.random.PRNGKey(3), x, mask)["params"]
+    out = model.apply({"params": params}, x, mask)
+    # explicit computation
+    from vlsa_tpu.ops.masked import l2_normalize
+    Q = np.asarray(params["Q"])           # [P+1, C]
+    Qn = np.asarray(l2_normalize(jnp.asarray(Q), axis=-1))
+    xn = np.asarray(x[0]) / np.linalg.norm(np.asarray(x[0]), axis=-1, keepdims=True)
+    A_ = Qn @ xn.T                         # [P+1, N]
+    A_g = (A_[:P] - A_[P:]) * model.coattn_logit_scale
+    A = np.exp(A_g - A_g.max(-1, keepdims=True))
+    A = A / A.sum(-1, keepdims=True)
+    pooled = (A @ np.asarray(x[0])).mean(0)
+    W = np.asarray(params["visual_adapter"]["kernel"])
+    b = np.asarray(params["visual_adapter"]["bias"])
+    expect = pooled @ W + b
+    np.testing.assert_allclose(np.asarray(out[0]), expect, rtol=1e-3, atol=1e-4)
+    # div loss uses the gate-vs-priors similarity (ref deepmil.py:160-163)
+    div = model.apply({"params": params}, method=lambda m: m.query_div_loss())
+    expect_div = np.abs(Qn[-1:] @ Qn[:-1].T).mean()
+    np.testing.assert_allclose(float(div), expect_div, rtol=1e-4)
