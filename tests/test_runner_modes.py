@@ -118,3 +118,25 @@ def test_exec_test_mode(tmp_path):
     metrics = handler.exec_test()
     assert "exec-test" in metrics
     assert np.isfinite(dict(metrics["exec-test"])["pred_loss"])
+
+
+def test_sa_continuous_regression(tmp_path):
+    """Continuous-time model: ratio labels + recon/rank losses + Reg evaluator
+    (ref cfg semantics for ESAT-style baselines)."""
+    table, split = make_cohort(tmp_path, n_patients=30)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({
+        "loss_type": "recon_loss-rank_loss",
+        "loss_recon_loss_alpha": 0.0,
+        "loss_rank_loss_gamma": 1.0,
+        "net_output_converter": None,
+        "net_dims": "64-32-1",
+        "evaluator": "Reg",
+        "time_format": "ratio",
+        "epochs": 1,
+    })
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    vals = dict(metrics["test"])
+    assert 0.0 <= vals["pred_c_index"] <= 1.0
+    assert np.isfinite(vals["pred_loss"])
