@@ -420,4 +420,5 @@ class BaseHandler:
     def _save_model(self, epoch, ckpt_type, run_name):
         path = self.best_ckpt_path if ckpt_type == "best" else self.last_ckpt_path
         save_checkpoint(add_prefix_to_filename(path, run_name), epoch, self.params,
-                        module_filter=self.cfg.get("model_saver_module_filter"))
+                        module_filter=self.cfg.get("model_saver_module_filter"),
+                        backend=self.cfg.get("ckpt_backend", "msgpack"))

@@ -26,16 +26,26 @@ def _np_tree(tree):
 
 
 def save_checkpoint(path: str, epoch: int, params: dict,
-                    module_filter: Optional[str] = None):
+                    module_filter: Optional[str] = None,
+                    backend: str = "msgpack"):
     payload = {
         "epoch": epoch,
         "model": _filter_tree(_np_tree(dict(params)), module_filter),
     }
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path) + ".orbax", payload, force=True)
+        return
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
 
 
 def load_checkpoint(path: str) -> dict:
+    if os.path.isdir(path + ".orbax") or path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+        target = path if path.endswith(".orbax") else path + ".orbax"
+        return ocp.PyTreeCheckpointer().restore(target)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 

@@ -15,12 +15,36 @@ from ..models import load_model
 from .base import BaseHandler
 
 
+def random_mask_instance(bag: np.ndarray, mask_ratio: float, scale: int = 1,
+                         mask_way: str = "mask_zero") -> np.ndarray:
+    """Random instance masking for robustness experiments
+    (ref utils/func.py:50-76)."""
+    if mask_ratio <= 0 or mask_ratio > 1:
+        return bag
+    N = bag.shape[0]
+    n_square = scale * scale
+    assert N % n_square == 0, "bag must consist of square instances."
+    N_scaled = N // n_square
+    n_keep = max(1, int(N_scaled * (1 - mask_ratio)))
+    idxs = np.random.permutation(N_scaled)
+    idxs_keep = np.sort(idxs[:n_keep])
+    idxs_keep = (idxs_keep.reshape(-1, 1) * n_square
+                 + np.arange(n_square).reshape(1, -1)).reshape(-1)
+    if mask_way == "discard":
+        return bag[idxs_keep]
+    if mask_way == "mask_zero":
+        new_bag = np.zeros_like(bag)
+        new_bag[idxs_keep] = bag[idxs_keep]
+        return new_bag
+    raise NotImplementedError(f"mask_way={mask_way}")
+
+
 class ClfBagDataset:
-    """Slide-level bags with class labels (ref dataset/PatchWSI.py:18-122,
-    'patch' mode; slide-level augmentation/corruption experiments omitted)."""
+    """Slide-level bags with class labels (ref dataset/PatchWSI.py:18-144,
+    'patch' mode) with instance masking + label-corruption experiments."""
 
     def __init__(self, patient_ids: List[str], patch_path: str, table_path: str,
-                 read_format: str = "pt"):
+                 read_format: str = "pt", ratio_mask=None):
         df = pd.read_csv(table_path, dtype={"patient_id": str})
         for c in ("patient_id", "pathology_id", "label"):
             assert c in df.columns
@@ -30,6 +54,29 @@ class ClfBagDataset:
         self.uid = self.sids
         self.read_path = patch_path
         self.read_format = read_format
+        self.ratio_mask = ratio_mask
+        self.new_sid2label = None
+        self.flag_use_corrupted_label = False
+
+    def corrupt_labels(self, corrupt_prob: float):
+        """Random-label corruption experiment (ref PatchWSI.py:124-139)."""
+        labels = np.array([self.sid2label[s] for s in self.sids])
+        mask = np.random.rand(len(labels)) <= corrupt_prob
+        labels[mask] = np.random.choice(labels.max() + 1, mask.sum())
+        cnt = 0
+        self.new_sid2label = {}
+        for i, sid in enumerate(self.sids):
+            if labels[i] != self.sid2label[sid]:
+                cnt += 1
+            self.new_sid2label[sid] = int(labels[i])
+        self.flag_use_corrupted_label = True
+        print(f"[dataset] {cnt / len(labels) * 100:.2f}% corrupted labels "
+              f"with corrupt_prob = {corrupt_prob}")
+
+    def resume_labels(self):
+        if self.flag_use_corrupted_label:
+            self.flag_use_corrupted_label = False
+            print("[dataset] the corrupted labels have been resumed.")
 
     def __len__(self):
         return len(self.sids)
@@ -42,7 +89,11 @@ class ClfBagDataset:
             feats = read_patch_data(
                 osp.join(self.read_path, sid + "." + self.read_format)
             ).astype(np.float32)
-        label = np.asarray([float(self.sid2label[sid]), 0.0], np.float32)
+        if self.ratio_mask:
+            feats = random_mask_instance(feats, self.ratio_mask)
+        lab = (self.new_sid2label[sid] if self.flag_use_corrupted_label
+               else self.sid2label[sid])
+        label = np.asarray([float(lab), 0.0], np.float32)
         return index, (feats, np.zeros(1, np.float32)), label
 
 
@@ -90,8 +141,9 @@ class CLFHandler(BaseHandler):
         return evaluator, metrics_list, ["auc", "loss"]
 
     def func_prepare_dataset(self, patient_ids, set_name, cfg, meta_data=None):
+        ratio_mask = cfg.get("ratio_mask") if cfg.get("test") else None
         return ClfBagDataset(patient_ids, cfg["path_patch"], cfg["path_table"],
-                             read_format=cfg["feat_format"])
+                             read_format=cfg["feat_format"], ratio_mask=ratio_mask)
 
     def _finalize_cltor(self, cltor):
         cltor = dict(cltor)
