@@ -51,11 +51,11 @@ def test_deepattnmisl_cluster_pooling():
     cid = jnp.asarray(RNG.integers(0, K, size=(B, N)), jnp.int32)
     mask = jnp.ones((B, N), bool)
     model = DeepAttnMISL(dim_in=D, dim_hid=24, num_cls=1, num_clusters=K)
-    params = model.init(jax.random.PRNGKey(2), x, cid, mask)["params"]
-    out = model.apply({"params": params}, x, cid, mask)
+    params = model.init(jax.random.PRNGKey(2), x, mask=mask, cluster_id=cid)["params"]
+    out = model.apply({"params": params}, x, mask=mask, cluster_id=cid)
     assert out.shape == (B, 1)
     # empty cluster handled: force all ids to cluster 0
-    out0 = model.apply({"params": params}, x, jnp.zeros_like(cid), mask)
+    out0 = model.apply({"params": params}, x, mask=mask, cluster_id=jnp.zeros_like(cid))
     assert np.isfinite(np.asarray(out0)).all()
 
 

@@ -140,3 +140,32 @@ def test_sa_continuous_regression(tmp_path):
     vals = dict(metrics["test"])
     assert 0.0 <= vals["pred_c_index"] <= 1.0
     assert np.isfinite(vals["pred_loss"])
+
+
+def test_sa_deepattnmisl_cluster_mode(tmp_path):
+    """Cluster data mode: per-patient cluster-id files drive DeepAttnMISL
+    (ref sa_handler.py:182-200 isinstance dispatch)."""
+    table, split = make_cohort(tmp_path, n_patients=24)
+    cluster_dir = tmp_path / "clusters"
+    os.makedirs(cluster_dir)
+    # synthetic bags have deterministic sizes; write matching cluster ids
+    from vlsa_tpu.data.io import synthetic_bag
+    import pandas as pd
+    df = pd.read_csv(table)
+    rng = np.random.default_rng(0)
+    for _, row in df.iterrows():
+        bag = synthetic_bag(row["pathology_id"], "synthetic://N=96,D=64,seed=3")
+        np.save(cluster_dir / f"{row['patient_id']}.npy",
+                rng.integers(0, 4, size=bag.shape[0]).astype(np.int64))
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({
+        "data_mode": "cluster",
+        "path_cluster": str(cluster_dir),
+        "deepmil_network": "DeepAttnMISL",
+        "deepmil_num_clusters": 4,
+        "net_dims": "64-32-4",
+        "epochs": 1,
+    })
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])

@@ -81,6 +81,9 @@ class BagBatcher:
             return native
         items = [self.dataset[int(i)] for i in indices]
         feats_list = [it[1][0] for it in items]
+        # cluster mode: aux array holds per-patch cluster ids (ref
+        # dataset/PatchWSI.py:217-229)
+        has_cluster = items[0][1][1].shape == feats_list[0].shape[:1]
         labels = np.stack([it[2] for it in items])
         max_n = max(f.shape[0] for f in feats_list)
         if self.fixed_bucket is not None:
@@ -95,12 +98,20 @@ class BagBatcher:
         e = np.zeros(B, np.float32)
         idx = np.full(B, -1, np.int32)
         valid = np.zeros(B, np.bool_)
+        cluster = np.zeros((B, target_n), np.int32) if has_cluster else None
         for j, (f, it) in enumerate(zip(feats_list, items)):
             feats[j], mask[j] = pad_bag(f, target_n)
+            if has_cluster:
+                cid = np.asarray(it[1][1], np.int32)
+                n = min(len(cid), target_n)
+                cluster[j, :n] = cid[:n]
             t[j], e[j] = labels[j, 0], labels[j, 1]
             idx[j] = int(indices[j])
             valid[j] = True
-        return {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
+        batch = {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
+        if has_cluster:
+            batch["cluster_id"] = cluster
+        return batch
 
     def _try_native_batch(self, indices):
         """Native C++ threaded assembly for .npy feature stores."""

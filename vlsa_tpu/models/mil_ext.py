@@ -204,8 +204,9 @@ class DeepAttnMISL(nn.Module):
     dropout: float = 0.25
 
     @nn.compact
-    def __call__(self, X, cluster_id, mask=None, train: bool = False, **_):
+    def __call__(self, X, mask=None, cluster_id=None, train: bool = False, **_):
         # X [B, N, D]; cluster_id [B, N] ints in [0, num_clusters)
+        assert cluster_id is not None, "DeepAttnMISL requires cluster ids."
         h = nn.relu(TorchLinear(self.dim_hid, name="phis")(X))  # [B, N, d']
         onehot = jax.nn.one_hot(cluster_id, self.num_clusters, dtype=h.dtype)  # [B, N, K]
         if mask is not None:

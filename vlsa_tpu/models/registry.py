@@ -21,7 +21,7 @@ def _init(module, rng, dims, example_n=256, extra=None):
     m = jnp.ones((1, example_n), bool)
     if extra == "cluster":
         cid = jnp.zeros((1, example_n), jnp.int32)
-        params = module.init(rng, x, cid, m)["params"]
+        params = module.init(rng, x, mask=m, cluster_id=cid)["params"]
     elif extra == "graph":
         edge_index = jnp.zeros((2, 4), jnp.int32)
         params = module.init(rng, x[0], edge_index, m[0])["params"]

@@ -347,7 +347,7 @@ class BaseHandler:
         all_raw, all_gt, all_idx = [], [], []
         for batch in batcher:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k in ("feats", "mask")}
+                  if k in ("feats", "mask", "cluster_id")}
             raw = eval_fn(params, jb)
             valid = batch["valid"]
             all_raw.append(np.asarray(raw)[valid])

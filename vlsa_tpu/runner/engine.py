@@ -95,8 +95,11 @@ class TrainEngine:
         accum = self.accum_steps
 
         def loss_fn(p, batch, rng):
-            out = model.apply({"params": p}, batch["feats"], batch["mask"],
-                              train=True, rngs={"dropout": rng})
+            extra = ({"cluster_id": batch["cluster_id"]}
+                     if "cluster_id" in batch else {})
+            out = model.apply({"params": p}, batch["feats"],
+                              mask=batch["mask"], train=True,
+                              rngs={"dropout": rng}, **extra)
             raw = out[0] if isinstance(out, tuple) else out
             ls = jnp.exp(p["logit_scale"]) if uses_vl else None
             qd = (lambda: model.apply({"params": p}, method=model.query_div_loss)) \
@@ -151,8 +154,10 @@ class TrainEngine:
 
         @jax.jit
         def step(params, batch):
-            out = model.apply({"params": params}, batch["feats"], batch["mask"],
-                              train=False)
+            extra = ({"cluster_id": batch["cluster_id"]}
+                     if "cluster_id" in batch else {})
+            out = model.apply({"params": params}, batch["feats"],
+                              mask=batch["mask"], train=False, **extra)
             return out[0] if isinstance(out, tuple) else out
 
         self._eval_step = step
