@@ -132,7 +132,7 @@ def build_vlsa(
         if "_ctx_override" in coop_cfg:
             # warm-start from a CoOp-pretrained checkpoint
             # (ref plain_prompt_learner.py:122-133)
-            prompt_learner = prompt_learner.replace(
+            prompt_learner = prompt_learner.clone(
                 context_init=coop_cfg["_ctx_override"], rank_init=coop_cfg["_rank_override"])
         if (prompt_learner_cfg.get("pretrained")
                 and prompt_learner_cfg.get("frozen_context_embeds")
