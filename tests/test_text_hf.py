@@ -58,3 +58,29 @@ def test_bf16_tower_close_to_f32():
     # bf16 matmuls with f32 accumulation: deviations stay a few percent of
     # the output scale (per-element relative error blows up near zeros)
     assert np.max(np.abs(o32 - o16)) / max(o32.std(), 1e-6) < 5e-2
+
+
+def test_ema():
+    from vlsa_tpu.optim import ModelEma
+    p0 = {"w": jnp.ones((3,))}
+    ema = ModelEma(p0, decay=0.5)
+    ema.update({"w": jnp.zeros((3,))})
+    np.testing.assert_allclose(np.asarray(ema.shadow["w"]), 0.5 * np.ones(3))
+    ema.update({"w": jnp.zeros((3,))})
+    np.testing.assert_allclose(np.asarray(ema.shadow["w"]), 0.25 * np.ones(3))
+
+
+def test_remat_tower_same_output():
+    pseudo = jnp.zeros((1, 15), jnp.int32).at[:, :5].set(jnp.arange(1, 6))
+    emb = jnp.asarray(RNG.normal(0, 0.02, size=(1, 15, 32)).astype(np.float32))
+    t1 = TextTower(width=32, heads=4, layers=2, context_length=16,
+                   vocab_size=40, output_dim=16, api="CONCH")
+    params = t1.init(jax.random.PRNGKey(2), prompts_embedding=emb,
+                     prompts_pseudo_tokens=pseudo)["params"]
+    t2 = TextTower(width=32, heads=4, layers=2, context_length=16,
+                   vocab_size=40, output_dim=16, api="CONCH", remat=True)
+    o1 = t1.apply({"params": params}, prompts_embedding=emb,
+                  prompts_pseudo_tokens=pseudo)
+    o2 = t2.apply({"params": params}, prompts_embedding=emb,
+                  prompts_pseudo_tokens=pseudo)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)

@@ -130,6 +130,7 @@ class TextTower(nn.Module):
     api: str = "CONCH"  # CONCH | CLIP | HF
     pad_id: int = 0
     dtype: str = "float32"
+    remat: bool = False  # rematerialise blocks (trade FLOPs for memory)
 
     @property
     def max_num_tokens(self) -> int:
@@ -146,10 +147,12 @@ class TextTower(nn.Module):
         if self.api == "CONCH":
             self.cls_emb = self.param("cls_emb", nn.initializers.normal(0.01), (self.width,))
         quick = self.api in ("CLIP", "HF")  # OpenAI/HF CLIP towers use QuickGELU
+        block_cls = (nn.remat(ResidualAttentionBlock, static_argnums=())
+                     if self.remat else ResidualAttentionBlock)
         self.blocks = [
-            ResidualAttentionBlock(self.width, self.heads, quick_gelu=quick,
-                                   compute_dtype=self.dtype,
-                                   name=f"resblock_{i}")
+            block_cls(self.width, self.heads, quick_gelu=quick,
+                      compute_dtype=self.dtype,
+                      name=f"resblock_{i}")
             for i in range(self.layers)
         ]
         self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")
