@@ -83,3 +83,17 @@ def test_dp_training_matches_single_device():
     np.testing.assert_allclose(float(l_single), float(l_dp), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_handler_mesh_training(tmp_path):
+    """Full SA training with cfg mesh over the 8 virtual devices."""
+    from test_runner_e2e import base_cfg, make_cohort
+    from vlsa_tpu.runner import SAHandler
+
+    table, split = make_cohort(tmp_path, n_patients=24)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({"mesh": {"data": 8, "model": 1}, "epochs": 1,
+                "bp_every_batch": 8})
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])

@@ -182,9 +182,21 @@ class BaseHandler:
         objective = make_objective(self.loss, self.loss_weight,
                                    make_output_converter(cfg.get("net_output_converter")),
                                    uses_vl=self.uses_vl)
-        return TrainEngine(self.model, self.tx, objective, uses_vl=self.uses_vl,
-                           has_query_div="QueryDiv" in self.loss,
-                           accum_steps=cfg.get("accum_steps", 1))
+        mesh = None
+        if cfg.get("mesh"):
+            from ..parallel import make_mesh
+            m = cfg["mesh"]
+            mesh = make_mesh(n_data=m.get("data"), n_model=m.get("model", 1))
+            print(f"[setup] mesh: data={mesh.shape['data']} "
+                  f"model={mesh.shape['model']}")
+        engine = TrainEngine(self.model, self.tx, objective, uses_vl=self.uses_vl,
+                             has_query_div="QueryDiv" in self.loss,
+                             accum_steps=cfg.get("accum_steps", 1), mesh=mesh)
+        if mesh is not None:
+            # replicate params/opt-state across the mesh once
+            self.params = engine.replicate(self.params)
+            self.opt_state = engine.replicate(self.opt_state)
+        return engine
 
     uses_vl = False
 
