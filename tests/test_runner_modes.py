@@ -169,3 +169,36 @@ def test_sa_deepattnmisl_cluster_mode(tmp_path):
     handler = SAHandler(cfg)
     metrics = handler.exec()
     assert np.isfinite(dict(metrics["test"])["pred_loss"])
+
+
+def test_sa_patchgcn_graph_mode(tmp_path):
+    """Graph data mode: per-slide .npz adjacency drives PatchGCN
+    (ref sa_handler.py:194-196 graph dispatch)."""
+    table, split = make_cohort(tmp_path, n_patients=16)
+    graph_dir = tmp_path / "graphs"
+    os.makedirs(graph_dir)
+    from vlsa_tpu.data.io import synthetic_bag
+    import pandas as pd
+    df = pd.read_csv(table)
+    for _, row in df.iterrows():
+        bag = synthetic_bag(row["pathology_id"], "synthetic://N=64,D=64,seed=3")
+        n = bag.shape[0]
+        src = np.concatenate([np.arange(n - 1), np.arange(1, n)])
+        dst = np.concatenate([np.arange(1, n), np.arange(n - 1)])
+        np.savez(graph_dir / f"{row['pathology_id']}.npz",
+                 edge_index=np.stack([src, dst]))
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({
+        "data_mode": "graph",
+        "path_patch": "synthetic://N=64,D=64,seed=3",
+        "path_graph": str(graph_dir),
+        "deepmil_network": "PatchGCN",
+        "deepmil_num_layers": 2,
+        "net_dims": "64-32-4",
+        "epochs": 1,
+        "bp_every_batch": 4,
+        "min_bucket": 64,
+    })
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])

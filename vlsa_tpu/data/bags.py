@@ -73,6 +73,21 @@ class SurvBagDataset:
             cids = np.load(osp.join(self.kws["cluster_path"], f"{pid}.npy"))
             assert cids.shape[0] == feats.shape[0]
             return index, (feats, cids), label
+        if self.mode == "graph":
+            # per-slide adjacency as .npz {edge_index [2, E]} (TPU-friendly
+            # replacement of the reference's torch_geometric .pt graphs,
+            # ref dataset/PatchWSI.py:231-249); slide graphs are offset and
+            # concatenated like the features
+            edges = []
+            offset = 0
+            for sid in sids:
+                gp = osp.join(self.kws["graph_path"], sid + ".npz")
+                ei = np.load(gp)["edge_index"].astype(np.int64)
+                edges.append(ei + offset)
+                n_sid = ei.max() + 1 if ei.size else 0
+                offset = feats.shape[0]  # conservative: offset by total-so-far
+            edge_index = np.concatenate(edges, axis=1) if edges else                 np.zeros((2, 0), np.int64)
+            return index, (feats, edge_index), label
         return index, (feats, np.zeros(1, np.float32)), label
 
 

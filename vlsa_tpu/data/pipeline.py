@@ -82,8 +82,10 @@ class BagBatcher:
         items = [self.dataset[int(i)] for i in indices]
         feats_list = [it[1][0] for it in items]
         # cluster mode: aux array holds per-patch cluster ids (ref
-        # dataset/PatchWSI.py:217-229)
-        has_cluster = items[0][1][1].shape == feats_list[0].shape[:1]
+        # dataset/PatchWSI.py:217-229); graph mode: aux is edge_index [2, E]
+        aux0 = items[0][1][1]
+        has_cluster = aux0.ndim == 1 and aux0.shape == feats_list[0].shape[:1]
+        has_graph = aux0.ndim == 2 and aux0.shape[0] == 2
         labels = np.stack([it[2] for it in items])
         max_n = max(f.shape[0] for f in feats_list)
         if self.fixed_bucket is not None:
@@ -111,6 +113,16 @@ class BagBatcher:
         batch = {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
         if has_cluster:
             batch["cluster_id"] = cluster
+        if has_graph:
+            max_e = max(1, max(it[1][1].shape[1] for it in items))
+            ei = np.zeros((B, 2, max_e), np.int32)
+            ev = np.zeros((B, max_e), np.bool_)
+            for j, it in enumerate(items):
+                e_j = it[1][1]
+                ei[j, :, :e_j.shape[1]] = e_j
+                ev[j, :e_j.shape[1]] = True
+            batch["edge_index"] = ei
+            batch["edge_valid"] = ev
         return batch
 
     def _try_native_batch(self, indices):

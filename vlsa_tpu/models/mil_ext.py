@@ -261,7 +261,8 @@ class PatchGCN(nn.Module):
     dropout: float = 0.25
 
     @nn.compact
-    def __call__(self, X, edge_index, mask=None, edge_valid=None, train: bool = False, **_):
+    def __call__(self, X, edge_index, mask=None, edge_valid=None,
+                 train: bool = False, **_):
         # single-graph form: X [N, D], edge_index [2, E]
         squeeze = X.ndim == 2
         assert squeeze, "PatchGCN operates on a single graph [N, D]."
@@ -288,3 +289,30 @@ class PatchGCN(nn.Module):
                                               h_path[None], None if mask is None else mask[None],
                                               train=train)
         return TorchLinear(self.num_cls, name="output_layer")(pooled)
+
+
+def BatchedPatchGCN(**kwargs):
+    """vmap PatchGCN over a batch of padded graphs: X [B, N, D],
+    edge_index [B, 2, E], mask [B, N], edge_valid [B, E] -> [B, num_cls]."""
+    Vm = nn.vmap(
+        PatchGCN,
+        in_axes=(0, 0, 0, 0),
+        out_axes=0,
+        variable_axes={"params": None},
+        split_rngs={"params": False, "dropout": True},
+        methods=["__call__"],
+    )
+
+    class _Wrapper(nn.Module):
+        @nn.compact
+        def __call__(self, X, mask=None, edge_index=None, edge_valid=None,
+                     train: bool = False, **_):
+            assert edge_index is not None, "PatchGCN requires edge_index."
+            if mask is None:
+                mask = jnp.ones(X.shape[:2], bool)
+            if edge_valid is None:
+                edge_valid = jnp.ones(edge_index.shape[::2], bool)
+            out = Vm(**kwargs, name="gcn")(X, edge_index, mask, edge_valid)
+            return out[:, 0]  # [B, 1, num_cls] -> [B, num_cls]
+
+    return _Wrapper()

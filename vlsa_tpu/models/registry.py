@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from .mil import DSMIL, DeepMIL
-from .mil_ext import DeepAttnMISL, ILRA, PatchGCN, TransMIL
+from .mil_ext import BatchedPatchGCN, DeepAttnMISL, ILRA, PatchGCN, TransMIL
 from .vlsa_build import build_vlsa
 
 
@@ -63,9 +63,16 @@ def load_model(arch: str, dims: Optional[List] = None, rng=None, **kws):
                                       dropout=kws.get("dropout", 0.25)),
                          rng, dims, extra="cluster")
         if network == "PatchGCN":
-            return _init(PatchGCN(**common, num_layers=kws.get("num_layers", 3),
-                                  dropout=kws.get("dropout", 0.25)),
-                         rng, dims, extra="graph")
+            module = BatchedPatchGCN(dim_in=dims[0], dim_hid=dims[1],
+                                     num_cls=dims[2],
+                                     num_layers=kws.get("num_layers", 3),
+                                     dropout=kws.get("dropout", 0.25))
+            x = jnp.zeros((1, 64, dims[0]), jnp.float32)
+            ei = jnp.zeros((1, 2, 8), jnp.int32)
+            m = jnp.ones((1, 64), bool)
+            ev = jnp.ones((1, 8), bool)
+            params = module.init(rng, x, mask=m, edge_index=ei, edge_valid=ev)["params"]
+            return module, params
         raise NotImplementedError(f"unknown DeepMIL network {network}")
     if arch == "VLSA":
         return build_vlsa(rng=rng, **kws)

@@ -95,8 +95,8 @@ class TrainEngine:
         accum = self.accum_steps
 
         def loss_fn(p, batch, rng):
-            extra = ({"cluster_id": batch["cluster_id"]}
-                     if "cluster_id" in batch else {})
+            extra = {k: batch[k] for k in ("cluster_id", "edge_index", "edge_valid")
+                     if k in batch}
             out = model.apply({"params": p}, batch["feats"],
                               mask=batch["mask"], train=True,
                               rngs={"dropout": rng}, **extra)
@@ -154,8 +154,8 @@ class TrainEngine:
 
         @jax.jit
         def step(params, batch):
-            extra = ({"cluster_id": batch["cluster_id"]}
-                     if "cluster_id" in batch else {})
+            extra = {k: batch[k] for k in ("cluster_id", "edge_index", "edge_valid")
+                     if k in batch}
             out = model.apply({"params": params}, batch["feats"],
                               mask=batch["mask"], train=False, **extra)
             return out[0] if isinstance(out, tuple) else out
