@@ -202,3 +202,21 @@ def test_sa_patchgcn_graph_mode(tmp_path):
     handler = SAHandler(cfg)
     metrics = handler.exec()
     assert np.isfinite(dict(metrics["test"])["pred_loss"])
+
+
+def test_vlsa_clip_api(tmp_path):
+    """VLSA with the OpenAI-CLIP api: our from-scratch BPE tokenizer + CLIP
+    text tower drive the same pipeline."""
+    table, split = make_cohort(tmp_path, n_patients=20)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({
+        "save_path": str(tmp_path / "result-clip"),
+        "vlsa_api": "CLIP",
+        "vlsa_txt_encoder_name": "ViT-B/16",
+        "_test_tower_overrides": {"width": 32, "heads": 4, "layers": 2,
+                                  "output_dim": 64, "context_length": 64},
+        "epochs": 1,
+    })
+    handler = VLSAHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])

@@ -40,11 +40,13 @@ def conch_tokenize(tokenizer, texts: List[str]) -> np.ndarray:
 class Tokenizer:
     """api in {'CLIP', 'HF', 'CONCH'} (ref model/utils_vl.py:19-81)."""
 
-    def __init__(self, root=None, name=None, api: str = "CONCH"):
+    def __init__(self, root=None, name=None, api: str = "CONCH",
+                 context_length: int = 77):
         self.api = api
         self.pad_token_id = 0
         self.bos_token_id = 49406
         self.eos_token_id = 49407
+        self.context_length = context_length  # CLIP api only
         if api == "CLIP":
             from .clip_bpe import ClipBPETokenizer
             self.tokenizer = ClipBPETokenizer()
@@ -70,7 +72,8 @@ class Tokenizer:
 
         if self.api == "CLIP":
             from .clip_bpe import clip_tokenize
-            token_ids = clip_tokenize(self.tokenizer, _text)
+            token_ids = clip_tokenize(self.tokenizer, _text,
+                                      context_length=self.context_length)
         elif self.api == "HF":
             token_ids = self.tokenizer(_text, padding=True, return_tensors="np")["input_ids"]
         else:  # CONCH

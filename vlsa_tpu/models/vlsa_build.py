@@ -89,9 +89,9 @@ def build_vlsa(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rng, rng_tower, rng_model = jax.random.split(rng, 3)
 
-    tokenizer = Tokenizer(root=path_clip_model, name=text_encoder_cfg.get("name"),
-                          api=vlsa_api)
     tower = make_text_tower(vlsa_api, name=None, **(tower_overrides or {}))
+    tokenizer = Tokenizer(root=path_clip_model, name=text_encoder_cfg.get("name"),
+                          api=vlsa_api, context_length=tower.context_length)
 
     # init (or import) the frozen text-tower params first: any text-feature
     # precompute must use the same weights that end up in the final tree
