@@ -79,7 +79,10 @@ def main():
     infer_jit = jax.jit(infer_step)
 
     rng = np.random.default_rng(0)
+    feats_dtype = _os.environ.get("VLSA_TPU_BENCH_FEATS_DTYPE", "float32")
     feats = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    if feats_dtype == "bfloat16":
+        feats = feats.astype(jnp.bfloat16)
     mask = jnp.ones((B, N), bool)
     t = jnp.asarray(rng.integers(0, K, size=B), jnp.int32)
     e = jnp.asarray(rng.integers(0, 2, size=B), jnp.float32)
@@ -116,6 +119,7 @@ def main():
             "patches_per_bag": N,
             "backend": jax.default_backend(),
             "tower_compute_dtype": dtype,
+            "feats_dtype": feats_dtype,
             "reference_estimate_slides_per_sec": REFERENCE_SLIDES_PER_SEC,
         },
     }

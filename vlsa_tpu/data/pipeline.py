@@ -48,7 +48,8 @@ class BagBatcher:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, min_bucket: int = 256,
                  max_bucket: Optional[int] = None, drop_last: bool = False,
-                 prefetch: int = 2, fixed_bucket: Optional[int] = None):
+                 prefetch: int = 2, fixed_bucket: Optional[int] = None,
+                 feats_dtype: str = "float32"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,6 +61,8 @@ class BagBatcher:
         # fixed_bucket pads every batch to ONE length: a single XLA program
         # per step function (recommended on hardware — compiles are expensive)
         self.fixed_bucket = fixed_bucket
+        # bf16 feature storage halves HBM traffic of the coattn kernels
+        self.feats_dtype = feats_dtype
         self._epoch = 0
 
     def __len__(self):
@@ -110,6 +113,10 @@ class BagBatcher:
             t[j], e[j] = labels[j, 0], labels[j, 1]
             idx[j] = int(indices[j])
             valid[j] = True
+        if self.feats_dtype != "float32":
+            import ml_dtypes  # numpy bfloat16 support
+            feats = feats.astype(ml_dtypes.bfloat16 if self.feats_dtype == "bfloat16"
+                                 else self.feats_dtype)
         batch = {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
         if has_cluster:
             batch["cluster_id"] = cluster

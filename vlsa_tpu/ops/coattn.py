@@ -81,7 +81,7 @@ def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[:]                      # [P, C]
-    x = x_ref[0]                      # [bn, C]
+    x = x_ref[0].astype(jnp.float32)  # [bn, C] (storage may be bf16)
     msk = mask_ref[0, 0]              # [bn]
     scale = scale_ref[0, 0]
 
@@ -123,7 +123,7 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     q = q_ref[:]                      # [P, C]
-    x = x_ref[0]                      # [bn, C]
+    x = x_ref[0].astype(jnp.float32)  # [bn, C] (storage may be bf16)
     msk = mask_ref[0, 0]              # [bn]
     scale = scale_ref[0, 0]
     g = g_ref[0]                      # [P, C]
@@ -149,7 +149,7 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
     proj = jnp.sum(xn * dxn, axis=-1, keepdims=True)               # [bn, 1]
     dx = jnp.dot(a.T, g, preferred_element_type=jnp.float32) \
         + (dxn - xn * proj) * inv
-    dx_ref[0] = dx
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
     dq_scr[:] = dq_scr[:] + scale * jnp.dot(
         dlogits, xn, preferred_element_type=jnp.float32)           # [P, C]
@@ -204,7 +204,7 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array):
             bytes_accessed=4 * (B * N * C + B * P_pad * C + P_pad * C),
             transcendentals=B * P_pad * N,
         ),
-    )(q.astype(jnp.float32), x.astype(jnp.float32),
+    )(q.astype(jnp.float32), x,
       mask.astype(jnp.float32)[:, None, :],
       jnp.asarray(scale, jnp.float32).reshape(1, 1))
     return out, stats, P, P_pad
@@ -236,7 +236,7 @@ def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
             pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, C), x.dtype),
             jax.ShapeDtypeStruct((P_pad, C), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((P_pad, C), jnp.float32)],
@@ -245,7 +245,7 @@ def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
             bytes_accessed=4 * (2 * B * N * C + 3 * B * P_pad * C),
             transcendentals=B * P_pad * N,
         ),
-    )(q_pad, x.astype(jnp.float32), mask.astype(jnp.float32)[:, None, :],
+    )(q_pad, x, mask.astype(jnp.float32)[:, None, :],
       jnp.asarray(scale, jnp.float32).reshape(1, 1), g_pad, out_pad, stats)
     return dx, dq
 

@@ -220,6 +220,7 @@ class BaseHandler:
             min_bucket=cfg.get("min_bucket", 256),
             max_bucket=cfg.get("max_bucket"),
             fixed_bucket=cfg.get("fixed_bucket"),
+            feats_dtype=cfg.get("feats_dtype", "float32"),
             prefetch=cfg.get("prefetch", 2),
         )
 
