@@ -1,0 +1,135 @@
+"""Full-model parity: the reference VLSA (torch) and ours produce the same
+incidence function when sharing one set of random CONCH-text weights and the
+imported learnable params — the ≤1e-3 incidence-deviation target of
+BASELINE.md, validated end to end (prompt splicing -> text tower -> TaskRes
+text queries -> VLFAN co-attention -> logit head -> softmax).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from conftest import REFERENCE_ROOT, reference_available, add_reference_to_path
+from test_prompt_parity import _install_stubs
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference repo not mounted")
+
+WIDTH, HEADS, LAYERS, CTX, VOCAB, OUT = 64, 4, 2, 128, 32007, 32
+NUM_RANKS, NUM_QUERY, DIM_IN = 6, 12, 32
+
+
+def test_full_vlsa_incidence_parity():
+    add_reference_to_path()
+    _install_stubs()
+    import torch
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_conch_tf2", os.path.join(REFERENCE_ROOT, "model/conch/transformer.py"))
+    ref_tf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_tf)
+
+    torch.manual_seed(3)
+    tt = ref_tf.TextTransformer(
+        context_length=CTX, vocab_size=VOCAB, width=WIDTH, heads=HEADS,
+        layers=LAYERS, output_dim=OUT, embed_cls=True, output_tokens=False)
+    tt.eval()
+
+    import model.vlsa as ref_vlsa_mod
+    from model.deepmil import VLFAN as RefVLFAN
+
+    image_encoder_cfg = {
+        "name": "VLFAN", "dim_in": DIM_IN, "dim_hid": 16,
+        "use_feat_proj": False, "drop_rate": 0.25, "pred_head": "default",
+        "query": "Text", "num_query": NUM_QUERY, "query_pooling": "mean",
+        "gated_query": False,
+        "query_text_method": "TaskRes", "query_text_res_ratio": 0.5,
+        "query_text_load_path": "vlsa_tpu/assets/tools/survival_text_prototypes.json",
+        "query_text_load_idx": "tcga_blca_0",
+    }
+    prompt_learner_cfg = {
+        "name": "CoOp", "method": "rank", "pretrained": False,
+        "num_ranks": NUM_RANKS, "num_base_ranks": 4, "num_tokens_per_rank": 4,
+        "num_context_tokens": 8, "rank_tokens_position": "tail",
+        "init_prompt_path": "vlsa_tpu/assets/tools/survival_prompts.json",
+        "init_prompt_context_idx": 0, "init_prompt_rank_idx": 0,
+        "rank_specific_context": False, "frozen_context_embeds": False,
+        "frozen_rank_embeds": False,
+    }
+
+    # the reference loads the full CoCa via the factory (needs the 1.3GB
+    # checkpoint); we bypass with a namespace exposing the same surface
+    def fake_load_vl_model(text_cfg, image_cfg, root, api):
+        mil_kwargs = {k: v for k, v in image_cfg.items()}
+        vlfan = RefVLFAN(**mil_kwargs)
+        return types.SimpleNamespace(
+            text=tt, visual=vlfan,
+            logit_scale=torch.nn.Parameter(
+                torch.ones([]) * float(np.log(1 / 0.07))))
+
+    orig = ref_vlsa_mod.load_vl_model_to_cpu
+    ref_vlsa_mod.load_vl_model_to_cpu = fake_load_vl_model
+    try:
+        torch.manual_seed(4)
+        ref_model = ref_vlsa_mod.VLSA(
+            text_encoder_cfg={"name": "mahmoodlab/conch"},
+            image_encoder_cfg=image_encoder_cfg,
+            prompt_learner_cfg=dict(prompt_learner_cfg, pretrained=False),
+            vlsa_api="CONCH", path_clip_model="unused")
+        ref_model.eval()
+    finally:
+        ref_vlsa_mod.load_vl_model_to_cpu = orig
+
+    # ---- ours, same tower weights ----
+    from vlsa_tpu.models.vlsa_build import build_vlsa
+    from vlsa_tpu.utils.torch_import import (
+        import_text_tower_state, import_vlsa_learnable_state)
+
+    tower_params = import_text_tower_state(
+        {k: v.detach().numpy() for k, v in tt.state_dict().items()}, layers=LAYERS)
+    model, params, _tok = build_vlsa(
+        vlsa_api="CONCH",
+        text_encoder_cfg={"name": "mahmoodlab/conch"},
+        image_encoder_cfg=image_encoder_cfg,
+        prompt_learner_cfg=prompt_learner_cfg,
+        rng=jax.random.PRNGKey(0),
+        vl_weights=tower_params,
+        tower_overrides={"width": WIDTH, "heads": HEADS, "layers": LAYERS,
+                         "output_dim": OUT},
+    )
+
+    # frozen prototype features must already agree (same tower weights)
+    ref_pf = ref_model.mil_encoder.Q.prompt_features.detach().numpy()
+    our_pf = np.asarray(model.query_adapter.prompt_features)
+    np.testing.assert_allclose(our_pf, ref_pf, rtol=5e-3, atol=5e-4,
+                               err_msg="frozen query prototype features differ")
+
+    # import every learnable tensor from the reference instance
+    state = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()
+             if k in ("logit_scale",
+                      "prompt_learner.context_embeds",
+                      "prompt_learner.rank_embeds",
+                      "mil_encoder.visual_adapter.weight",
+                      "mil_encoder.visual_adapter.bias",
+                      "mil_encoder.Q.residual_features")}
+    assert len(state) == 6
+    params = import_vlsa_learnable_state(params, state)
+
+    # ---- forward the same bag ----
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(1, 300, DIM_IN)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, _ref_img, _ref_txt = ref_model(torch.tensor(X))
+        ref_probs = torch.softmax(ref_logits, dim=-1).numpy()
+
+    logits, _img, _txt = model.apply({"params": params},
+                                     jnp.asarray(X), jnp.ones((1, 300), bool))
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    dev = np.abs(probs - ref_probs).max()
+    print(f"incidence deviation: {dev:.2e}")
+    assert dev <= 1e-3, f"incidence deviation {dev} exceeds 1e-3"
