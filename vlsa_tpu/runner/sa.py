@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import fetch_kws, parse_str_dims
+from ..config import fetch_kws, parse_str_dims, rename_keys
 from ..data import MetaSurvData, prepare_surv_dataset
 from ..data.io import save_prediction_surv
 from ..eval import load_evaluator
@@ -85,3 +85,18 @@ class SAHandler(BaseHandler):
     def save_prediction_results(self, data_cltor, path_to_save, **kws):
         save_prediction_surv(data_cltor["uid"], data_cltor["y"], data_cltor["y_hat"],
                              path_to_save, **kws)
+
+    def _eval_and_print(self, cltor, name="", at_epoch=None):
+        """Also re-evaluate each configured training loss on the collected
+        predictions (ref runner/sa_handler.py:222-243)."""
+        kws = {}
+        if hasattr(self.evaluator, "_eval_ext_loss"):
+            kws = dict(kws_ext_loss=self.loss, loss_weight=self.loss_weight)
+        results = self.evaluator.compute(cltor, self.metrics_list, **kws)
+        results = rename_keys(results, name, sep="/")
+        print(f"[{name}] At epoch {at_epoch}:",
+              " ".join(f"{k}={v:.6f}," for k, v in results.items()))
+        if self.writer is not None:
+            self.writer.log(results)
+        self.jsonl.log({"event": "eval", "at": str(at_epoch), **results})
+        return [results[name + "/" + k] for k in self.ret_metrics]
