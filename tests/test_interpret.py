@@ -87,3 +87,31 @@ def test_shapley_reference_parity():
     ref = ref_shap(sim, 11.3)
     got = evaluate_prototype_shap_imp(sim, 11.3)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_interpret_cohort(tmp_path):
+    """Batched cohort attribution over a small synthetic VLSA test split."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_runner_e2e import make_cohort, vlsa_cfg
+    from vlsa_tpu.runner import VLSAHandler
+    from vlsa_tpu.interpret.cohort import interpret_cohort
+    import os
+
+    table, split = make_cohort(tmp_path, n_patients=16)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({"epochs": 1, "save_path": str(tmp_path / "res")})
+    handler = VLSAHandler(cfg)
+    handler.exec()
+    test_set = handler.func_prepare_dataset(handler.data_split["test"], "test",
+                                            cfg, handler.data_meta)
+    out_csv = str(tmp_path / "cohort_shap.csv")
+    out = interpret_cohort(handler.model, handler.params, test_set,
+                           batch_size=4, min_bucket=64, save_path=out_csv)
+    B = len(test_set)
+    assert out["shap_importance"].shape[0] == B
+    assert out["probs"].shape[0] == B
+    assert np.isfinite(out["shap_importance"]).all()
+    # probs from the decoupled path are proper distributions
+    np.testing.assert_allclose(out["probs"].sum(-1), np.ones(B), rtol=1e-4)
+    assert os.path.exists(out_csv)
