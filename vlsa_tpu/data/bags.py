@@ -53,6 +53,21 @@ class SurvBagDataset:
             feats.append(read_patch_data(full_path).astype(np.float32))
         return np.concatenate(feats, axis=0)
 
+    def _slide_len(self, sid: str) -> int:
+        if str(self.read_path).startswith(SYNTHETIC_PREFIX):
+            return synthetic_bag(sid, self.read_path).shape[0]
+        full_path = osp.join(self.read_path, sid + "." + self.read_format)
+        if not osp.exists(full_path):
+            return 0
+        if self.read_format == "npy":
+            try:
+                from .native_loader import native_available, read_npy_info
+                if native_available():
+                    return read_npy_info(full_path)[0]
+            except Exception:
+                pass
+        return read_patch_data(full_path).shape[0]
+
     def bag_paths(self, index: int):
         """Per-bag .npy file list for the native loader (None when the store
         is not native-readable)."""
