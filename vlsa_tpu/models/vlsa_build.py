@@ -98,15 +98,26 @@ def build_vlsa(
     L = tower.max_num_tokens
     dummy_emb = jnp.zeros((2, L, tower.width))
     dummy_pseudo = jnp.zeros((2, L), jnp.int32).at[:, :4].set(jnp.arange(1, 5))
-    tower_params = tower.init(rng_tower, prompts_embedding=dummy_emb,
-                              prompts_pseudo_tokens=dummy_pseudo)["params"]
+    # build-time computations are jitted: eager op-by-op dispatch is very
+    # slow on remote TPU backends
+    tower_params = jax.jit(tower.init)(rng_tower, prompts_embedding=dummy_emb,
+                                       prompts_pseudo_tokens=dummy_pseudo)["params"]
     if vl_weights is not None:
         tower_params = vl_weights["text_params"] if "text_params" in vl_weights else vl_weights
     emb_table = np.asarray(tower_params["token_embedding"])
 
+    _encode_jit = None
+
     def encode_texts(token_ids):
-        return np.asarray(tower.apply({"params": tower_params},
-                                      prompts_text=jnp.asarray(token_ids)))
+        token_ids = np.asarray(token_ids)
+        pseudo = None
+        from .text_encoder import generate_pseudo_tokens
+        ids_for_pseudo = token_ids[:, :-1] if vlsa_api == "CONCH" else token_ids
+        pseudo = generate_pseudo_tokens(ids_for_pseudo, vlsa_api)
+        fn = jax.jit(lambda p, ids, ps: tower.apply(
+            {"params": p}, prompts_text=ids, prompts_pseudo_tokens=ps))
+        return np.asarray(fn(tower_params, jnp.asarray(token_ids),
+                             jnp.asarray(pseudo)))
 
     logit_scale_init = CLIP_LOGIT_SCALE_INIT
     if vl_weights is not None and "logit_scale" in vl_weights:
@@ -137,9 +148,9 @@ def build_vlsa(
         if (prompt_learner_cfg.get("pretrained")
                 and prompt_learner_cfg.get("frozen_context_embeds")
                 and prompt_learner_cfg.get("frozen_rank_embeds")):
-            lp = prompt_learner.init(rng)["params"]
-            embeds = prompt_learner.apply({"params": lp})
-            pretrained_text_features = np.asarray(tower.apply(
+            lp = jax.jit(prompt_learner.init)(rng)["params"]
+            embeds = jax.jit(prompt_learner.apply)({"params": lp})
+            pretrained_text_features = np.asarray(jax.jit(tower.apply)(
                 {"params": tower_params}, prompts_embedding=embeds,
                 prompts_pseudo_tokens=jnp.asarray(prompt_learner.pseudo_sentence_tokens)))
             prompt_learner = None
@@ -177,7 +188,7 @@ def build_vlsa(
     D = image_encoder_cfg.get("dim_in", 512)
     dummy_x = jnp.zeros((1, 256, D), jnp.float32)
     dummy_m = jnp.ones((1, 256), bool)
-    params = model.init(rng_model, dummy_x, dummy_m)["params"]
+    params = jax.jit(model.init)(rng_model, dummy_x, dummy_m)["params"]
     if "prompt_encoder" in params:
         params = dict(params)
         params["prompt_encoder"] = tower_params
