@@ -246,3 +246,31 @@ def test_vlfan_gated_query_algebra():
     div = model.apply({"params": params}, method=lambda m: m.query_div_loss())
     expect_div = np.abs(Qn[-1:] @ Qn[:-1].T).mean()
     np.testing.assert_allclose(float(div), expect_div, rtol=1e-4)
+
+
+def test_abmil_fused_kernel_interpret():
+    """Fused ABMIL pooling kernel vs the reference path (interpreter mode)."""
+    import vlsa_tpu.ops.abmil as ab
+    old = ab.INTERPRET
+    ab.INTERPRET = True
+    try:
+        rng = np.random.default_rng(1)
+        B, N, D, H = 2, 512, 32, 16
+        x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        mask = jnp.asarray(np.concatenate(
+            [np.ones((B, N - 64)), np.zeros((B, 64))], 1).astype(bool))
+        w1 = jnp.asarray(rng.normal(size=(H, D)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.1)
+        ref, _ = ab.abmil_pool_reference(x, mask, w1, b1, w2, 0.3)
+        got = ab._abmil_pool_tpu(x, mask, w1, b1, w2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        # gradients flow through the custom vjp
+        g = jax.grad(lambda w: jnp.sum(ab._abmil_pool_tpu(x, mask, w, b1, w2) ** 2))(w1)
+        g_ref = jax.grad(lambda w: jnp.sum(
+            ab.abmil_pool_reference(x, mask, w, b1, w2, 0.3)[0] ** 2))(w1)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        ab.INTERPRET = old

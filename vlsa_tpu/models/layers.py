@@ -69,13 +69,30 @@ class AttentionPooling(nn.Module):
     """ABMIL global attention pooling (ref model/layers.py:125-153).
 
     x [B, N, D], mask [B, N] -> (pooled [B, D], raw attention logits [B, N]).
+    On TPU with `need_attn=False` the pooled output runs through the fused
+    Pallas kernel (ops/abmil.py) and the [B, N, hid] intermediate never
+    touches HBM; `need_attn=True` takes the explicit path.
     """
     hid_dim: int = 512
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None, ret_raw_attn: bool = True):
-        h = nn.tanh(TorchLinear(self.hid_dim, name="fc1")(x))
-        a_raw = TorchLinear(1, name="fc2")(h)[..., 0]  # [B, N]
+    def __call__(self, x, mask: Optional[jax.Array] = None, ret_raw_attn: bool = True,
+                 need_attn: bool = True):
+        D = x.shape[-1]
+        k1 = self.param("fc1_kernel", torch_linear_init, (D, self.hid_dim))
+        b1 = self.param("fc1_bias",
+                        lambda k, s: torch_bias_init(k, s, fan_in=D), (self.hid_dim,))
+        k2 = self.param("fc2_kernel", torch_linear_init, (self.hid_dim, 1))
+        b2 = self.param("fc2_bias",
+                        lambda k, s: torch_bias_init(k, s, fan_in=self.hid_dim), (1,))
+        from ..ops import abmil as _abmil
+        fused_ok = (x.ndim == 3 and not need_attn and x.shape[1] >= 256
+                    and x.shape[1] % 256 == 0)
+        if fused_ok:
+            pooled = _abmil.abmil_pool(x, mask, k1.T, b1, k2[:, 0], b2[0])
+            return pooled, None
+        h = nn.tanh(x @ k1 + b1)
+        a_raw = (h @ k2)[..., 0] + b2[0]  # [B, N]
         attn = masked_softmax(a_raw, mask, axis=-1)
         pooled = jnp.einsum("bn,bnd->bd", attn, x)
         return pooled, (a_raw if ret_raw_attn else attn)

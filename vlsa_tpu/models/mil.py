@@ -192,7 +192,8 @@ class DeepMIL(nn.Module):
         elif self.pooling == "max":
             out_feat = masked_max(X, mask, axis=1)
         elif self.pooling == "attention":
-            out_feat, raw_attn = AttentionPooling(self.dim_hid, name="sigma")(X, mask)
+            out_feat, raw_attn = AttentionPooling(self.dim_hid, name="sigma")(
+                X, mask, need_attn=ret_with_attn)
         else:
             out_feat, raw_attn = GatedAttentionPooling(
                 self.dim_hid, dropout=self.drop_rate, name="sigma")(X, mask, train=train)
