@@ -43,8 +43,8 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 _BLOCK_N = 256
-_STATS_LANES = 128
-INTERPRET = False  # set True (tests) to run the kernels in interpreter mode  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
+_STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
+INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 
 
 def coattn_pool_reference(q: Array, x: Array, mask: Optional[Array], scale) -> Array:

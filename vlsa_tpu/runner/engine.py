@@ -11,7 +11,6 @@ params/opt-state replicate; XLA inserts the gradient all-reduce over ICI.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional
 
 import jax

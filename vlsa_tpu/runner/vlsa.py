@@ -7,8 +7,6 @@ evaluates logit-scale-aware ext losses.
 """
 from __future__ import annotations
 
-import numpy as np
-
 from ..config import fetch_kws
 from ..data import prepare_surv_dataset
 from ..data.io import save_prediction_surv
