@@ -8,6 +8,10 @@ metrics, and prints epoch slides/sec.
     python examples/tpu_train_demo.py [--epochs 2] [--n 8192]
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

@@ -1,4 +1,4 @@
-from .registry import load_loss, load_surv_loss_func, load_clf_loss_func  # noqa: F401
+from .registry import load_loss, load_surv_loss_func, load_clf_loss_func, loss_reg_l1  # noqa: F401
 from .surv import surv_mle, surv_ifmle, surv_ple, recon_loss, rank_loss, mse_loss  # noqa: F401
 from .surv_ext import (  # noqa: F401
     cdf_loss,

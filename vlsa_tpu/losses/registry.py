@@ -18,6 +18,19 @@ from . import surv as _surv
 from . import surv_ext as _surv_ext
 
 
+def loss_reg_l1(coef):
+    """L1 parameter regulariser factory (ref loss/utils.py:23-30)."""
+    coef = 0.0 if coef is None else coef
+
+    def func(model_params):
+        if coef <= 1e-8:
+            return 0.0
+        import jax
+        return coef * sum(jnp.abs(w).sum() for w in jax.tree.leaves(model_params))
+
+    return func
+
+
 def _filter_kws(kws: dict) -> dict:
     return {k: v for k, v in kws.items() if k != "weight"}
 
