@@ -221,3 +221,40 @@ def test_clip_bpe_tokenizer_parity(ref_env):
     ]
     for t in texts:
         assert ours.encode(t) == ref_tok.encode(t), t
+
+
+@pytest.mark.parametrize("position", ["tail", "front", "middle"])
+def test_plain_prompt_learner_parity(ref_env, position):
+    """Plain (non-interpolated) learner splicing parity at every rank-token
+    position (ref plain_prompt_learner.py:82-120)."""
+    torch = ref_env["torch"]
+    from model.prompt_learners import PlainPromptLearner as RefPlain
+    from model.utils_vl import Tokenizer as RefTokenizer
+    from vlsa_tpu.models.tokenizer import Tokenizer
+    from vlsa_tpu.models.prompt_build import build_prompt_learner
+    import jax
+
+    tt = _mk_ref_tower(ref_env)
+    tok_ref = RefTokenizer(api="CONCH")
+    tok_ours = Tokenizer(api="CONCH")
+    emb_table = tt.token_embedding.weight.detach().numpy()
+
+    kw = dict(num_ranks=4, num_tokens_per_rank=4, num_context_tokens=8,
+              rank_tokens_position=position,
+              init_prompt_path="vlsa_tpu/assets/tools/survival_prompts.json",
+              init_prompt_context_idx=1, init_prompt_rank_idx=1,
+              rank_specific_context=False)
+    ref_learner = RefPlain(
+        text_config={"max_num_tokens": CTX - 1, "embedding_dim": WIDTH,
+                     "embedding_dtype": torch.float32},
+        tokenizer=tok_ref, token_embedding=tt.token_embedding, **kw)
+    with torch.no_grad():
+        ref_out = ref_learner().numpy()
+
+    ours = build_prompt_learner("plain", dict(kw), tok_ours, emb_table,
+                                max_num_tokens=CTX - 1, embedding_dim=WIDTH)
+    params = ours.init(jax.random.PRNGKey(0))["params"]
+    got = np.asarray(ours.apply({"params": params}))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ours.pseudo_sentence_tokens),
+                                  ref_learner.pseudo_sentence_tokens.numpy())
