@@ -79,7 +79,7 @@ def main():
     infer_jit = jax.jit(infer_step)
 
     rng = np.random.default_rng(0)
-    feats_dtype = _os.environ.get("VLSA_TPU_BENCH_FEATS_DTYPE", "float32")
+    feats_dtype = _os.environ.get("VLSA_TPU_BENCH_FEATS_DTYPE", "bfloat16")
     feats = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
     if feats_dtype == "bfloat16":
         feats = feats.astype(jnp.bfloat16)

@@ -220,3 +220,27 @@ def test_vlsa_clip_api(tmp_path):
     handler = VLSAHandler(cfg)
     metrics = handler.exec()
     assert np.isfinite(dict(metrics["test"])["pred_loss"])
+
+
+def test_vlsa_hf_api(tmp_path):
+    """VLSA with the HuggingFace-CLIP api: offline-exported CLIPTokenizer +
+    HF tower (causal + pad key mask, QuickGELU)."""
+    from vlsa_tpu.models.hf_export import export_hf_clip_tokenizer
+
+    tok_dir = tmp_path / "clip-tok" / "hfclip"
+    export_hf_clip_tokenizer(str(tok_dir))
+
+    table, split = make_cohort(tmp_path, n_patients=20)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({
+        "save_path": str(tmp_path / "result-hf"),
+        "vlsa_api": "HF",
+        "path_clip_model": str(tmp_path / "clip-tok"),
+        "vlsa_txt_encoder_name": "hfclip",
+        "_test_tower_overrides": {"width": 32, "heads": 4, "layers": 2,
+                                  "output_dim": 64, "context_length": 77},
+        "epochs": 1,
+    })
+    handler = VLSAHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["test"])["pred_loss"])

@@ -194,7 +194,11 @@ class TextTower(nn.Module):
             assert prompts_embedding is not None and prompts_pseudo_tokens is not None
             x = prompts_embedding
         K, seq_len, _ = x.shape
-        assert seq_len == self.max_num_tokens
+        if self.api == "HF":
+            # HF CLIP accepts shorter padded batches (ref prompt_encoder.py:158-170)
+            assert seq_len <= self.max_num_tokens
+        else:
+            assert seq_len == self.max_num_tokens
 
         attn_mask = causal_mask(self.context_length)
         if self.api == "CONCH":

@@ -113,7 +113,8 @@ def build_vlsa(
         pseudo = None
         from .text_encoder import generate_pseudo_tokens
         ids_for_pseudo = token_ids[:, :-1] if vlsa_api == "CONCH" else token_ids
-        pseudo = generate_pseudo_tokens(ids_for_pseudo, vlsa_api)
+        pseudo = generate_pseudo_tokens(ids_for_pseudo, vlsa_api,
+                                        eos_token_id=tokenizer.eos_token_id)
         fn = jax.jit(lambda p, ids, ps: tower.apply(
             {"params": p}, prompts_text=ids, prompts_pseudo_tokens=ps))
         return np.asarray(fn(tower_params, jnp.asarray(token_ids),
