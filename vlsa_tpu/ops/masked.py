@@ -18,9 +18,14 @@ NEG_INF = -1e30
 
 
 def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
-    """torch.nn.functional.normalize equivalent (norm clamped below by eps)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize equivalent (norm clamped below by eps).
+
+    Written as sqrt(max(sum(x^2), eps^2)) so the gradient at exactly-zero
+    rows is zero (instance-masked patches) instead of NaN — matching torch's
+    behaviour; for non-zero rows it is identical to clamping the norm."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / norm
 
 
 def masked_softmax(logits: Array, mask: Optional[Array], axis: int = -1) -> Array:
