@@ -244,3 +244,21 @@ def test_vlsa_hf_api(tmp_path):
     handler = VLSAHandler(cfg)
     metrics = handler.exec()
     assert np.isfinite(dict(metrics["test"])["pred_loss"])
+
+
+def test_sa_hazard_mle(tmp_path):
+    """Hazard-head variant: sigmoid converter + SurvMLE + NLL evaluator."""
+    table, split = make_cohort(tmp_path, n_patients=24)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({
+        "loss_type": "SurvMLE",
+        "loss_survmle_alpha": 0.0,
+        "net_output_converter": "sigmoid",
+        "evaluator": "NLL",
+        "epochs": 1,
+    })
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    vals = dict(metrics["test"])
+    assert 0.0 <= vals["pred_c_index"] <= 1.0
+    assert np.isfinite(vals["pred_loss"])
