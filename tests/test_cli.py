@@ -45,3 +45,20 @@ def test_multi_run_save_paths(monkeypatch):
     paths = sorted(c["save_path"] for c in captured)
     # dataset_name and num_shot=-1 are ignored; fold suffix appended
     assert paths == ["./res/{0}-RUN-fold_0", "./res/{0}-RUN-fold_1"]
+
+
+def test_config_validation():
+    from vlsa_tpu.config_schema import validate_config
+    import pytest as _pytest
+
+    problems = validate_config({"task": "sa"}, "sa")
+    assert any("missing required key" in p for p in problems)
+    with _pytest.raises(ValueError):
+        validate_config({"task": "sa"}, "sa", strict=True)
+    # a complete config has no problems
+    from test_runner_e2e import base_cfg, make_cohort
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        t, s = make_cohort(pathlib.Path(d))
+        cfg = base_cfg(pathlib.Path(d), t, s)
+        assert validate_config(cfg, "sa") == []

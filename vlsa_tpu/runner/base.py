@@ -56,6 +56,8 @@ class BaseHandler:
     task_assert: Optional[str] = None
 
     def __init__(self, cfg: dict):
+        from ..config_schema import validate_config
+        validate_config(cfg, cfg.get("task", ""), strict=cfg.get("strict_config", False))
         seed_everything(cfg["seed"])
         configure_debug(cfg)
         self.rng = jax.random.PRNGKey(cfg["seed"])
