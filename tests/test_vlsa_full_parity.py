@@ -133,3 +133,29 @@ def test_full_vlsa_incidence_parity():
     dev = np.abs(probs - ref_probs).max()
     print(f"incidence deviation: {dev:.2e}")
     assert dev <= 1e-3, f"incidence deviation {dev} exceeds 1e-3"
+
+
+def test_abmil_forward_parity():
+    """Reference DeepMIL(ABMIL) vs ours with imported weights — full forward
+    on one bag (ref model/deepmil.py:222-292)."""
+    add_reference_to_path()
+    _install_stubs()
+    import torch
+    from model.deepmil import DeepMIL as RefDeepMIL
+    from vlsa_tpu.models import DeepMIL
+    from vlsa_tpu.utils.torch_import import import_deepmil_state
+
+    torch.manual_seed(0)
+    ref = RefDeepMIL(dim_in=32, dim_hid=16, num_cls=4, use_feat_proj=True,
+                     pooling="attention", pred_head="default")
+    ref.eval()
+    params = import_deepmil_state(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+
+    ours = DeepMIL(dim_in=32, dim_hid=16, num_cls=4, use_feat_proj=True,
+                   pooling="attention", pred_head="default")
+    X = np.random.default_rng(2).normal(size=(1, 200, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(X)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(X), jnp.ones((1, 200), bool))
+    np.testing.assert_allclose(np.asarray(got), ref_out, rtol=2e-4, atol=2e-5)

@@ -124,3 +124,57 @@ def jax_tree_to_dict(tree):
     if hasattr(tree, "items"):
         return {k: jax_tree_to_dict(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+def import_deepmil_state(state: Dict[str, np.ndarray]) -> dict:
+    """Map a reference DeepMIL/ABMIL checkpoint (ref model/deepmil.py:222-292,
+    layers.py:125-153) to our DeepMIL param tree."""
+    params: dict = {}
+
+    def setp(path, value):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    for k, v in state.items():
+        if k == "feat_proj.projecter.0.weight":
+            setp(("feat_proj", "linear", "kernel"), v.T)
+        elif k == "feat_proj.projecter.0.bias":
+            setp(("feat_proj", "linear", "bias"), v)
+        elif k == "feat_proj.projecter.1.weight":
+            setp(("feat_proj", "norm", "scale"), v)
+        elif k == "feat_proj.projecter.1.bias":
+            setp(("feat_proj", "norm", "bias"), v)
+        elif k == "sigma.attention.0.weight":
+            setp(("sigma", "fc1_kernel"), v.T)
+        elif k == "sigma.attention.0.bias":
+            setp(("sigma", "fc1_bias"), v)
+        elif k == "sigma.attention.2.weight":
+            setp(("sigma", "fc2_kernel"), v.T)
+        elif k == "sigma.attention.2.bias":
+            setp(("sigma", "fc2_bias"), v)
+        # gated attention pooling (ref layers.py:85-122)
+        elif k == "sigma.fc1.0.weight":
+            setp(("sigma", "fc1", "kernel"), v.T)
+        elif k == "sigma.fc1.0.bias":
+            setp(("sigma", "fc1", "bias"), v)
+        elif k == "sigma.score.0.weight":
+            setp(("sigma", "score", "kernel"), v.T)
+        elif k == "sigma.score.0.bias":
+            setp(("sigma", "score", "bias"), v)
+        elif k == "sigma.fc2.weight":
+            setp(("sigma", "fc2", "kernel"), v.T)
+        elif k == "sigma.fc2.bias":
+            setp(("sigma", "fc2", "bias"), v)
+        elif k == "g.weight":
+            setp(("g", "kernel"), v.T)
+        elif k == "g.bias":
+            setp(("g", "bias"), v)
+        elif k.startswith("visual_adapter.fc.0."):
+            setp(("visual_adapter", "fc1", "kernel"), v.T)
+        elif k.startswith("visual_adapter.fc.2."):
+            setp(("visual_adapter", "fc2", "kernel"), v.T)
+        else:
+            print(f"[torch_import] warning: unmapped DeepMIL key {k}")
+    return params
