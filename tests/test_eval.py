@@ -169,3 +169,47 @@ class TestReferenceParity:
         x_ref, s_ref = ref.get_survival_function(lp[:5], ret_ndarray=True)
         x_got, s_got = got.get_survival_function(lp[:5], ret_ndarray=True)
         np.testing.assert_allclose(s_got, s_ref, rtol=1e-10)
+
+
+def test_auc_one_km_calibration():
+    """New SurvivalEVAL-surface metrics (ref eval/SurvivalEVAL: AUC,
+    OneCalibration, KMCalibration behaviours)."""
+    from vlsa_tpu.eval.survival_evaluator import SurvivalEvaluator
+    from vlsa_tpu.eval.km import KaplanMeier
+
+    rng = np.random.default_rng(0)
+    N, K = 120, 10
+    grid = np.linspace(0, 60, K)
+    t = rng.uniform(1, 55, N)
+    e = rng.integers(0, 2, N).astype(float)
+
+    # perfect discrimination -> AUC 1
+    risk = np.argsort(np.argsort(-t)).astype(float) / N
+    curves = np.clip(1 - risk[:, None] * np.linspace(0, 1, K)[None, :], 0, 1)
+    ev = SurvivalEvaluator(curves, grid, t, np.ones(N), t, np.ones(N))
+    assert ev.auc() == 1.0
+
+    # anti-discrimination (risk inverted) -> AUC 0
+    anti = np.clip(1 - (1 - risk)[:, None] * np.linspace(0, 1, K)[None, :], 0, 1)
+    ev_bad = SurvivalEvaluator(anti, grid, t, np.ones(N), t, np.ones(N))
+    assert ev_bad.auc() < 0.1
+
+    # KM-matched cohort curve -> km_calibration == 0
+    km = KaplanMeier(t, e)
+    kmc = km.predict(grid)
+    ev2 = SurvivalEvaluator(np.tile(kmc, (N, 1)), grid, t, e, t, e)
+    assert ev2.km_calibration() < 1e-10
+
+    # one_calibration returns a p-value in [0,1] and decile groups
+    p, obs, exp = ev2.one_calibration(num_bins=5)
+    assert 0.0 <= p <= 1.0 and len(obs) == 5 and len(exp) == 5
+
+
+def test_optim_novograd_builds():
+    import jax.numpy as jnp
+    from vlsa_tpu.optim import create_optimizer
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+    tx = create_optimizer("novograd", 1e-3, 1e-5, params)
+    st = tx.init(params)
+    u, _ = tx.update({"w": jnp.ones((4, 4)) * .1, "b": jnp.ones(4) * .1}, st, params)
+    assert u["w"].shape == (4, 4)

@@ -160,3 +160,61 @@ class SurvivalEvaluator:
     def d_calibration(self, num_bins: int = 10):
         probs = self.predict_probability_from_curve(self.event_times)
         return d_calibration(probs, self.event_indicators, num_bins)
+
+    def auc(self, target_time=None):
+        """Single-time cumulative/dynamic AUC (ref SurvivalEVAL
+        Evaluations/AreaUnderCurve.py behaviour): cases are subjects with an
+        observed event by `target_time`, controls those still at risk past
+        it; censored-before-target subjects are not comparable.  Ties in the
+        predicted event probability count 0.5."""
+        if target_time is None:
+            target_time = np.quantile(
+                np.concatenate((self.event_times, self.train_event_times)), 0.5)
+        event_prob = 1.0 - self.predict_probability_from_curve(target_time)
+        cases = (self.event_times <= target_time) & (self.event_indicators == 1)
+        controls = self.event_times > target_time
+        n_pairs = cases.sum() * controls.sum()
+        if n_pairs == 0:
+            return float("nan")
+        diff = event_prob[cases][:, None] - event_prob[controls][None, :]
+        return float(((diff > 0).sum() + 0.5 * (diff == 0).sum()) / n_pairs)
+
+    def one_calibration(self, target_time=None, num_bins: int = 10):
+        """Hosmer-Lemeshow style single-time calibration (D'Agostino-Nam;
+        ref SurvivalEVAL Evaluations/OneCalibration.py behaviour): group by
+        predicted event probability at `target_time`, compare the group mean
+        against the KM-observed event rate inside the group.  Returns
+        (p_value, observed_rates, expected_rates)."""
+        from scipy.stats import chi2
+        from .km import KaplanMeier
+        if target_time is None:
+            target_time = np.quantile(
+                np.concatenate((self.event_times, self.train_event_times)), 0.5)
+        pred = 1.0 - self.predict_probability_from_curve(target_time)
+        order = np.argsort(-pred)
+        bins = np.array_split(order, num_bins)
+        hl, observed, expected = 0.0, [], []
+        for idx in bins:
+            if idx.size == 0:
+                continue
+            mean_p = float(np.clip(pred[idx].mean(), 1e-10, 1 - 1e-10))
+            km = KaplanMeier(self.event_times[idx], self.event_indicators[idx])
+            obs = 1.0 - float(km.predict(np.asarray([target_time]))[0])
+            observed.append(obs)
+            expected.append(mean_p)
+            hl += (idx.size * (obs - mean_p) ** 2) / (mean_p * (1.0 - mean_p))
+        p_value = float(1.0 - chi2.cdf(hl, max(len(observed) - 1, 1)))
+        return p_value, np.asarray(observed), np.asarray(expected)
+
+    def km_calibration(self, draw_figure: bool = False):
+        """Integrated squared difference between the cohort-mean predicted
+        survival curve and the test-set Kaplan-Meier curve, normalised by the
+        time range (ref SurvivalEVAL Evaluations/KMCalibration.py
+        behaviour).  0 = perfectly KM-calibrated."""
+        from .km import KaplanMeier
+        km = KaplanMeier(self.event_times, self.event_indicators)
+        grid = self._time_coordinates
+        km_curve = km.predict(np.asarray(grid, dtype=float))
+        mean_curve = self._predicted_curves.mean(axis=0)
+        rng = max(float(grid[-1] - grid[0]), 1e-12)
+        return float(np.trapezoid((mean_curve - km_curve) ** 2, grid) / rng)

@@ -69,6 +69,11 @@ def _base_tx(opt_name: str, lr: float, weight_decay: float, params, **kws):
         )
     if opt_name == "adafactor":
         return optax.adafactor(lr)
+    if opt_name in ("novograd", "nvnovograd"):
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            optax.novograd(lr, b1=betas[0], b2=betas[1], eps=eps),
+        )
     if opt_name in ("rmsprop", "rmsproptf"):
         return optax.chain(
             optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
