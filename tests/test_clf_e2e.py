@@ -46,3 +46,24 @@ def test_clf_end_to_end(tmp_path):
     vals = dict(metrics["test"])
     assert 0.0 <= vals["pred_auc"] <= 1.0
     assert np.isfinite(vals["pred_loss"])
+
+
+def test_clf_aug_path_switching(tmp_path):
+    """Slide-level augmentation path switching (ref PatchWSI.py:89-105):
+    with aug_path_choices set, reads resolve to an alternate feature
+    directory whose name replaces the second-to-last path segment."""
+    import pandas as pd
+    from vlsa_tpu.runner.clf import ClfBagDataset
+
+    table = tmp_path / "table.csv"
+    pd.DataFrame({"patient_id": ["p0"], "pathology_id": ["s0"],
+                  "label": [1]}).to_csv(table, index=False)
+    for i, sub in enumerate(("orig", "augA", "augB")):
+        d = tmp_path / sub / "feats"
+        d.mkdir(parents=True)
+        np.save(d / "s0.npy", np.full((4, 8), float(i), np.float32))
+    ds = ClfBagDataset(["p0"], str(tmp_path / "orig" / "feats"), str(table),
+                       read_format="npy", aug_path_choices=["augA", "augB"])
+    np.random.seed(0)
+    vals = {float(np.asarray(ds[0][1][0])[0, 0]) for _ in range(60)}
+    assert vals == {0.0, 1.0, 2.0}

@@ -24,6 +24,8 @@ TPU-first design, both directions fused in Pallas:
 """
 from __future__ import annotations
 
+import os
+
 import functools
 from typing import Optional
 
@@ -42,7 +44,9 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-_BLOCK_N = 256
+# Patch-axis tile for the flash-style streaming kernels.  256 won the on-chip
+# sweep (see STATUS.md); overridable for tuning on other TPU generations.
+_BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "256"))
 _STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 

@@ -44,7 +44,8 @@ class ClfBagDataset:
     'patch' mode) with instance masking + label-corruption experiments."""
 
     def __init__(self, patient_ids: List[str], patch_path: str, table_path: str,
-                 read_format: str = "pt", ratio_mask=None):
+                 read_format: str = "pt", ratio_mask=None,
+                 aug_path_choices=None):
         df = pd.read_csv(table_path, dtype={"patient_id": str})
         for c in ("patient_id", "pathology_id", "label"):
             assert c in df.columns
@@ -57,6 +58,10 @@ class ClfBagDataset:
         self.ratio_mask = ratio_mask
         self.new_sid2label = None
         self.flag_use_corrupted_label = False
+        # slide-level feature augmentation: with p=0.5 read the original
+        # feature directory, else one of two alternates whose name replaces
+        # the second-to-last path segment (ref dataset/PatchWSI.py:89-105)
+        self.aug_path_choices = aug_path_choices
 
     def corrupt_labels(self, corrupt_prob: float):
         """Random-label corruption experiment (ref PatchWSI.py:124-139)."""
@@ -83,11 +88,19 @@ class ClfBagDataset:
 
     def __getitem__(self, index):
         sid = self.sids[index]
-        if str(self.read_path).startswith(SYNTHETIC_PREFIX):
-            feats = synthetic_bag(sid, self.read_path)
+        read_path = self.read_path
+        if self.aug_path_choices:
+            prob = np.random.rand()
+            if prob > 0.5:
+                choice = self.aug_path_choices[0 if prob <= 0.75 else 1]
+                parts = str(read_path).split("/")
+                parts[-2] = choice
+                read_path = "/".join(parts)
+        if str(read_path).startswith(SYNTHETIC_PREFIX):
+            feats = synthetic_bag(sid, read_path)
         else:
             feats = read_patch_data(
-                osp.join(self.read_path, sid + "." + self.read_format)
+                osp.join(read_path, sid + "." + self.read_format)
             ).astype(np.float32)
         if self.ratio_mask:
             feats = random_mask_instance(feats, self.ratio_mask)
@@ -142,8 +155,16 @@ class CLFHandler(BaseHandler):
 
     def func_prepare_dataset(self, patient_ids, set_name, cfg, meta_data=None):
         ratio_mask = cfg.get("ratio_mask") if cfg.get("test") else None
+        # train-time slide-level feature augmentation by path switching
+        # (ref dataset/PatchWSI.py:44-45,89-105; cfg key `random_patch_path`)
+        aug = None
+        if set_name == "train" and cfg.get("random_patch_path"):
+            aug = cfg.get("patch_path_choices",
+                          ["feat-x20-RN50-B-color_norm-vflip",
+                           "feat-x20-RN50-B-color_hed_light"])
         return ClfBagDataset(patient_ids, cfg["path_patch"], cfg["path_table"],
-                             read_format=cfg["feat_format"], ratio_mask=ratio_mask)
+                             read_format=cfg["feat_format"], ratio_mask=ratio_mask,
+                             aug_path_choices=aug)
 
     def _finalize_cltor(self, cltor):
         cltor = dict(cltor)
