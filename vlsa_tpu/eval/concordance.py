@@ -92,6 +92,40 @@ def concordance_index(y_true, y_pred, **kws) -> float:
     return concordance_index_censored(e, t, -risk, tied_tol=1e-08)[0]
 
 
+def _weighted_all_pairs_concordance(orig_event, orig_time, bg_time, pw,
+                                    estimate, tied_tol=1e-8):
+    """Margin-method core: every sample acts as an event at its (best-guess)
+    time; pair (i, j) weight = pw[i]*pw[j] unless the pair is comparable
+    under the true censoring, which keeps weight 1.  Returns the same tuple
+    as `_estimate_concordance_index` (tied_time is 0: with every sample an
+    event there are no censored-at-same-time pairs)."""
+    n = len(bg_time)
+    concordant = discordant = tied_risk = 0.0
+    numerator = denominator = 0.0
+    for i in range(n):
+        comp = bg_time > bg_time[i]
+        if not comp.any():
+            continue
+        w = pw * pw[i]
+        if orig_event[i]:
+            orig_comp = (orig_time > orig_time[i]) | (
+                (orig_time == orig_time[i]) & ~orig_event)
+            w = np.where(orig_comp, 1.0, w)
+        est, wj = estimate[comp], w[comp]
+        ties = np.abs(est - estimate[i]) <= tied_tol
+        n_ties = float(wj @ ties)
+        n_con = float(wj @ ((est < estimate[i]) & ~ties))
+        numerator += n_con + 0.5 * n_ties
+        denominator += wj.sum()
+        tied_risk += n_ties
+        concordant += n_con
+        discordant += wj.sum() - n_con - n_ties
+    if denominator == 0:
+        raise NoComparablePairException(
+            "Data has no comparable pairs, cannot estimate concordance index.")
+    return numerator / denominator, concordant, discordant, tied_risk, 0.0
+
+
 def concordance(
     predicted_times: np.ndarray,
     event_times: np.ndarray,
@@ -108,16 +142,44 @@ def concordance(
 
     if pair_method == "Comparable":
         risks = -1.0 * predicted_times
+        cindex, concordant_pairs, discordant_pairs, risk_ties, time_ties = (
+            _estimate_concordance_index(event_indicators, event_times, risks))
     elif pair_method == "Margin":
-        raise NotImplementedError(
-            "pair_method='Margin' is not used by any shipped config "
-            "(the runner calls concordance(ties='All') with the default "
-            "'Comparable'); see ref eval/evaluator_surv.py:159-164.")
+        # All-pairs concordance with KM best-guess de-censoring
+        # (ref Concordance.py:127-149,180-238): censored subjects get a
+        # best-guess event time from the train KM curve and pair weight
+        # w_i*w_j with w = 1-KM(censor time); pairs already comparable under
+        # the true censoring keep weight 1.  We implement the intended
+        # product-weight semantics directly — the reference indexes its
+        # order-space weight vector with original-space indices
+        # (Concordance.py:211-212), a latent bug that cancels only when the
+        # sort happens to be the identity.
+        if train_event_times is None or train_event_indicators is None:
+            raise ValueError(
+                "If 'Margin' is chosen, training set information must be provided.")
+        from .km import KaplanMeierArea
+        km = KaplanMeierArea(np.asarray(train_event_times, dtype=float),
+                             np.asarray(train_event_indicators).astype(bool))
+        min_surv = float(np.min(km.survival_probabilities))
+        max_t = float(np.max(km.survival_times))
+        km_linear_zero = max_t / (1.0 - min_surv) if min_surv < 1.0 else max_t
+        predicted_times = np.clip(predicted_times, None, km_linear_zero)
+        risks = -1.0 * predicted_times
+
+        censor_times = event_times[~event_indicators]
+        pw = np.ones(len(event_times), dtype=float)
+        pw[~event_indicators] = 1.0 - km.predict(censor_times)
+        bg = km.best_guess(censor_times)
+        late = censor_times > km_linear_zero
+        bg[late] = censor_times[late]
+        bg_times = event_times.copy()
+        bg_times[~event_indicators] = bg
+
+        cindex, concordant_pairs, discordant_pairs, risk_ties, time_ties = (
+            _weighted_all_pairs_concordance(event_indicators, event_times,
+                                            bg_times, pw, risks))
     else:
         raise TypeError("Method for calculating concordance is unrecognized.")
-
-    cindex, concordant_pairs, discordant_pairs, risk_ties, time_ties = (
-        _estimate_concordance_index(event_indicators, event_times, risks))
 
     if ties == "None":
         total_pairs = concordant_pairs + discordant_pairs

@@ -136,9 +136,11 @@ class SurvivalEvaluator:
         if num_points is None:
             censored_times = self.event_times[self.event_indicators == 0]
             time_points = np.unique(censored_times)
-            if time_points.size == 0:
-                raise ValueError("No censored data in the test set; "
-                                 "provide num_points for IBS.")
+            if time_points.size < 2:
+                # degenerate default grid (no/one censored subject in the
+                # test set — the reference would crash here); fall back to a
+                # uniform grid over the observed range
+                time_points = np.linspace(0, max_target_time, 10)
             time_range = np.max(time_points) - np.min(time_points)
         else:
             time_points = np.linspace(0, max_target_time, num_points)
