@@ -164,3 +164,24 @@ def test_vlsa_end_to_end(tmp_path):
     ck = load_checkpoint(os.path.join(cfg["save_path"], "train_model-last.ckpt"))
     assert "prompt_encoder" not in ck["model"]
     assert "prompt_learner" in ck["model"]
+
+
+def test_resume_model_roundtrip(tmp_path):
+    """resume_model restores params AND optimizer moments (ref
+    base_handler.py:641-693 saves {'epoch','model','optimizer'})."""
+    import jax
+    table, split = make_cohort(tmp_path)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg["epochs"] = 1
+    h = SAHandler(cfg)
+    h.exec()
+
+    cfg2 = dict(cfg, save_path=cfg["save_path"])
+    h2 = SAHandler(cfg2)
+    epoch = h2.resume_model(ckpt_type="last", run_name="train")
+    assert epoch == 1
+    for a, b in zip(jax.tree.leaves(h2.params), jax.tree.leaves(h.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # optimizer moments restored (adam mu non-zero after an epoch of steps)
+    mus = [x for x in jax.tree.leaves(h2.opt_state) if hasattr(x, "shape")]
+    assert any(np.abs(np.asarray(m)).sum() > 0 for m in mus)

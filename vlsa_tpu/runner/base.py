@@ -436,4 +436,26 @@ class BaseHandler:
         path = self.best_ckpt_path if ckpt_type == "best" else self.last_ckpt_path
         save_checkpoint(add_prefix_to_filename(path, run_name), epoch, self.params,
                         module_filter=self.cfg.get("model_saver_module_filter"),
-                        backend=self.cfg.get("ckpt_backend", "msgpack"))
+                        backend=self.cfg.get("ckpt_backend", "msgpack"),
+                        opt_state=(self.opt_state
+                                   if self.cfg.get("save_optimizer", True) else None))
+
+    def resume_model(self, ckpt_type: str = "best", run_name: str = "train"):
+        """Resume params (+optimizer moments when saved) from a run checkpoint
+        (ref base_handler.py:684-693): strict=False merge, so filtered-out
+        modules (e.g. the frozen text tower) keep their current values."""
+        from flax import serialization
+        if ckpt_type == "last":
+            path = add_prefix_to_filename(self.last_ckpt_path, run_name)
+        elif ckpt_type == "best":
+            path = add_prefix_to_filename(self.best_ckpt_path, run_name)
+        else:
+            raise KeyError(f"Expected best or last for `ckpt_type`, got {ckpt_type}.")
+        ckpt = load_checkpoint(path)
+        self.params = merge_params(self.params, ckpt["model"])
+        if "optimizer" in ckpt and self.opt_state is not None:
+            self.opt_state = serialization.from_state_dict(
+                self.opt_state, ckpt["optimizer"])
+        print(f"[model] resume the network from {ckpt_type}_{run_name} "
+              f"at epoch {ckpt['epoch']}...")
+        return ckpt["epoch"]

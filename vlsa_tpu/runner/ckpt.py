@@ -27,11 +27,16 @@ def _np_tree(tree):
 
 def save_checkpoint(path: str, epoch: int, params: dict,
                     module_filter: Optional[str] = None,
-                    backend: str = "msgpack"):
+                    backend: str = "msgpack", opt_state=None):
     payload = {
         "epoch": epoch,
         "model": _filter_tree(_np_tree(dict(params)), module_filter),
     }
+    if opt_state is not None:
+        # optax states are namedtuple pytrees; flax's state-dict codec
+        # flattens them to nested dicts (ref saves {'epoch','model',
+        # 'optimizer'}, base_handler.py:641-683)
+        payload["optimizer"] = _np_tree(serialization.to_state_dict(opt_state))
     if backend == "orbax":
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
