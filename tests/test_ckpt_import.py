@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from conftest import REFERENCE_ROOT, reference_available
 
+pytestmark = pytest.mark.slow
+
 CKPT = os.path.join(REFERENCE_ROOT, "assert/blca-train-VLSA/train_model-last.pth")
 
 

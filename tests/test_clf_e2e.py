@@ -3,6 +3,9 @@ import numpy as np
 import pandas as pd
 
 from vlsa_tpu.runner import CLFHandler
+import pytest
+
+pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(9)
 

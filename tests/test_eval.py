@@ -245,7 +245,10 @@ def test_margin_concordance():
     if reference_available():
         add_reference_to_path()
         sys.path.insert(0, "/root/reference/eval")
-        from SurvivalEVAL.Evaluations.Concordance import concordance as ref_conc
+        try:
+            from SurvivalEVAL.Evaluations.Concordance import concordance as ref_conc
+        finally:
+            sys.path.remove("/root/reference/eval")
         ref_unc = ref_conc(pred.copy(), t.copy(), np.ones(N, bool), tr_t.copy(),
                            tr_e.copy(), pair_method="Margin", ties="All")
         assert abs(ours_unc[0] - ref_unc[0]) < 1e-12

@@ -9,6 +9,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vlsa_tpu.ops.coattn import coattn_pool_reference
 from vlsa_tpu.parallel import make_mesh, param_shardings
 from vlsa_tpu.parallel.coattn_sp import coattn_pool_sp
+import pytest
+
+pytestmark = pytest.mark.slow
 
 RNG = np.random.default_rng(8)
 

@@ -11,6 +11,8 @@ from vlsa_tpu.runner import SAHandler, VLSAHandler
 
 from test_runner_e2e import base_cfg, make_cohort, vlsa_cfg
 
+pytestmark = pytest.mark.slow
+
 
 def test_args_grid_order():
     cfg = {"a": [1, 2], "b": "x", "c": [0.1, 0.2]}

@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from conftest import REFERENCE_ROOT, reference_available, add_reference_to_path
 from test_prompt_parity import _install_stubs
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not reference_available(),
+                                 reason="reference repo not mounted")]
 
 WIDTH, HEADS, LAYERS, CTX, VOCAB, OUT = 64, 4, 2, 128, 32007, 32
 NUM_RANKS, NUM_QUERY, DIM_IN = 6, 12, 32

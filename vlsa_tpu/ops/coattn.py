@@ -44,11 +44,22 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-# Patch-axis tile for the flash-style streaming kernels.  256 won the on-chip
-# sweep (see STATUS.md); overridable for tuning on other TPU generations.
-_BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "256"))
+# Patch-axis tile for the flash-style streaming kernels.  512 won the on-chip
+# v5e sweep (256: 2041, 512: 2166, 1024: 2158 slides/s — STATUS.md);
+# overridable for tuning on other TPU generations.
+_BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "512"))
 _STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
+
+
+def _pick_block(N: int):
+    """Largest tile from {_BLOCK_N, 512, 256, 128} that divides N (None if
+    none does -> caller falls back to the XLA reference path)."""
+    for b in (_BLOCK_N, 512, 256, 128):
+        b = min(b, N)
+        if b % 128 == 0 and N % b == 0:
+            return b
+    return None
 
 
 def coattn_pool_reference(q: Array, x: Array, mask: Optional[Array], scale) -> Array:
@@ -173,8 +184,8 @@ def _pad_q(q):
 
 def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array):
     B, N, C = x.shape
-    block_n = min(_BLOCK_N, N)
-    assert N % block_n == 0, f"bag length {N} must be a multiple of {block_n}"
+    block_n = _pick_block(N)
+    assert block_n is not None, f"bag length {N} has no 128-aligned tile"
     n_blocks = N // block_n
     q, P, P_pad = _pad_q(q)
 
@@ -216,7 +227,7 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array):
 
 def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
     B, N, C = x.shape
-    block_n = min(_BLOCK_N, N)
+    block_n = _pick_block(N)
     n_blocks = N // block_n
     P_pad = q_pad.shape[0]
 
@@ -290,7 +301,8 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
     co-attention scale is a frozen buffer, ref deepmil.py:121-126).
     """
     if use_pallas is None:
-        use_pallas = _HAS_PALLAS and jax.default_backend() == "tpu"
+        use_pallas = (_HAS_PALLAS and jax.default_backend() == "tpu"
+                      and _pick_block(x.shape[1]) is not None)
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
     if use_pallas:
