@@ -5,6 +5,12 @@ Exercises the full runner on hardware: prefetch pipeline -> padded fixed
 bucket -> fused ABMIL Pallas kernel -> jitted train step -> SurvivalEVAL
 metrics, and prints epoch slides/sec.
 
+Note on the number: each bag is synthesised on the host (~16 MB) and shipped
+to the device every step, so in a remote-TPU (tunnelled) environment the
+epoch rate measures host RNG + link bandwidth, not device speed — bench.py
+isolates the device step (2166 slides/s on one v5e chip).  On a TPU VM the
+transfers ride PCIe/DMA and the runner's prefetch thread overlaps them.
+
     python examples/tpu_train_demo.py [--epochs 2] [--n 8192]
 """
 import argparse
