@@ -13,6 +13,7 @@ through the XLA reference (the output is only [B, D]).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -30,7 +31,16 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-_BLOCK_N = 256
+_BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "256"))
+
+
+def pick_block(N: int):
+    """Largest 128-aligned tile from {_BLOCK_N, 512, 256, 128} dividing N."""
+    for b in (_BLOCK_N, 512, 256, 128):
+        b = min(b, N)
+        if b % 128 == 0 and N % b == 0:
+            return b
+    return None
 INTERPRET = False
 
 
@@ -80,8 +90,8 @@ def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref,
 def _abmil_pallas(x, mask, w1, b1, w2):
     B, N, D = x.shape
     hid = w1.shape[0]
-    block_n = min(_BLOCK_N, N)
-    assert N % block_n == 0
+    block_n = pick_block(N)
+    assert block_n is not None
     n_blocks = N // block_n
     kernel = functools.partial(_abmil_kernel, n_blocks=n_blocks)
     out = pl.pallas_call(
