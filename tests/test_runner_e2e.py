@@ -185,3 +185,18 @@ def test_resume_model_roundtrip(tmp_path):
     # optimizer moments restored (adam mu non-zero after an epoch of steps)
     mus = [x for x in jax.tree.leaves(h2.opt_state) if hasattr(x, "shape")]
     assert any(np.abs(np.asarray(m)).sum() > 0 for m in mus)
+
+
+def test_seeded_run_determinism(tmp_path):
+    """Same cfg + seed -> identical final params (ref utils/func.py
+    seed_everything semantics carried to JAX PRNG keys)."""
+    import jax
+    table, split = make_cohort(tmp_path)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg["epochs"] = 1
+    h1 = SAHandler(dict(cfg, save_path=str(tmp_path / "r1")))
+    h1.exec()
+    h2 = SAHandler(dict(cfg, save_path=str(tmp_path / "r2")))
+    h2.exec()
+    for a, b in zip(jax.tree.leaves(h1.params), jax.tree.leaves(h2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
