@@ -155,9 +155,27 @@ class FewShotSurvBagDataset:
         return self._dataset[self.few_shot_idx[index]]
 
 
+def sampling_data(data, num):
+    """Random patient subsampling (ref utils/func.py:109-121): float in (0,1)
+    = fraction, int = count.  Returns (sampled, left)."""
+    total = len(data)
+    if isinstance(num, float):
+        assert 0.0 < num < 1.0
+        num = int(total * num)
+    assert num < total
+    idxs = np.random.permutation(total)
+    return ([data[i] for i in idxs[:num]], [data[i] for i in idxs[num:]])
+
+
 def prepare_surv_dataset(patient_ids: List[str], cfg: dict, **kws):
     """ref dataset/utils.py:46-74."""
     assert "meta_data" in kws, "The argument `meta_data` must be specified."
+    ratio_sampling = kws.get("ratio_sampling")  # programmatic only, like the ref
+    if ratio_sampling is not None:
+        print(f"[dataset] patient-level sampling with ratio_sampling = {ratio_sampling}")
+        patient_ids, pid_left = sampling_data(patient_ids, ratio_sampling)
+        print(f"[dataset] sampled {len(patient_ids)} patients, "
+              f"left {len(pid_left)} patients")
     dataset = SurvBagDataset(
         patient_ids, cfg["path_patch"], cfg["data_mode"], kws["meta_data"],
         read_format=cfg["feat_format"],

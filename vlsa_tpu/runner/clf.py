@@ -45,7 +45,12 @@ class ClfBagDataset:
 
     def __init__(self, patient_ids: List[str], patch_path: str, table_path: str,
                  read_format: str = "pt", ratio_mask=None,
-                 aug_path_choices=None):
+                 aug_path_choices=None, ratio_sampling=None):
+        if ratio_sampling is not None:
+            from vlsa_tpu.data.bags import sampling_data
+            print(f"[dataset] patient-level sampling with ratio_sampling = {ratio_sampling}")
+            patient_ids, left = sampling_data(list(patient_ids), ratio_sampling)
+            print(f"[dataset] sampled {len(patient_ids)} patients, left {len(left)}")
         df = pd.read_csv(table_path, dtype={"patient_id": str})
         for c in ("patient_id", "pathology_id", "label"):
             assert c in df.columns
