@@ -199,6 +199,10 @@ class CoxSurvEvaluator:
             self._baseline_model.fit(self.y_hat, train_label["e"].values, train_label["t"].values)
         _tp, self.survival_hat = self._baseline_model.get_survival_function(
             self.y_hat, ret_ndarray=True)
+        # time-grid consistency vs the train-fitted Breslow baseline
+        # (ref evaluator_surv.py:317 via utils/func.py:17-23)
+        assert set(np.asarray(_tp).tolist()) == set(
+            np.asarray(self.time_points).tolist()), "Consistency check failed."
         if self.backend == "SurvivalEVAL":
             self.aux_evaluator.predicted_curves = self.survival_hat
             actual = self.meta_data.get_patient_data(pids=cur_uid, ret_columns=["t", "e"])
