@@ -264,3 +264,27 @@ def test_sa_hazard_mle(tmp_path):
     vals = dict(metrics["test"])
     assert 0.0 <= vals["pred_c_index"] <= 1.0
     assert np.isfinite(vals["pred_loss"])
+
+
+def test_load_vlsa_from_run(tmp_path):
+    """Round-trip: train a VLSA run, reload it from the run dir only
+    (ref utils/model_inference.py:11-21), verify identical incidence."""
+    import jax
+    import jax.numpy as jnp
+    from vlsa_tpu.interpret import load_vlsa_from_run
+
+    table, split = make_cohort(tmp_path)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg["epochs"] = 1
+    h = VLSAHandler(cfg)
+    h.exec()
+
+    module, params, loaded_cfg = load_vlsa_from_run(
+        cfg["save_path"], ckpt_type="last", return_cfg=True)
+    assert loaded_cfg["task"] == "vlsa"
+    X = np.random.default_rng(0).normal(size=(1, 96, 64)).astype(np.float32)
+    mask = jnp.ones((1, 96), bool)
+    logits1, _, _ = module.apply({"params": params}, jnp.asarray(X), mask)
+    logits2, _, _ = h.model.apply({"params": h.params}, jnp.asarray(X), mask)
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
+                               rtol=1e-5, atol=1e-6)
