@@ -71,9 +71,12 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def infer_step(params, feats, mask):
+    def infer_step(params, feats, mask, chain):
+        # `chain` threads the previous output back in so successive timed
+        # calls are data-dependent (the remote runtime dedupes identical
+        # in-flight executions); added to the OUTPUT so no input copy occurs
         logits, _i, _t = model.apply({"params": params}, feats, mask)
-        return logits
+        return logits + chain * 1e-30
 
     train_jit = jax.jit(train_step, donate_argnums=(0, 1))
     infer_jit = jax.jit(infer_step)
@@ -88,22 +91,27 @@ def main():
     e = jnp.asarray(rng.integers(0, 2, size=B), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: jax.block_until_ready can return before the
+    # remote device has finished under the tunnelled runtime, so every
+    # timing below forces a scalar host transfer instead.
     params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e, key)
-    jax.block_until_ready(loss)
-    jax.block_until_ready(infer_jit(params, feats, mask))
+    _ = float(loss)
+    out = infer_jit(params, feats, mask, loss * 0.0)
+    _ = float(out.sum())
 
-    iters = 5
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e, key)
-    jax.block_until_ready(loss)
+    _ = float(loss)   # forces completion of the whole chained sequence
     t_train = (time.perf_counter() - t0) / iters
 
+    chain = loss * 0.0
     t0 = time.perf_counter()
     for i in range(iters):
-        out = infer_jit(params, feats, mask)
-    jax.block_until_ready(out)
+        out = infer_jit(params, feats, mask, chain)
+        chain = out[0, 0]
+    _ = float(chain)
     t_infer = (time.perf_counter() - t0) / iters
 
     slides_per_sec = B / (t_train + t_infer)

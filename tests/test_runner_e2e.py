@@ -12,12 +12,14 @@ from vlsa_tpu.runner import SAHandler, VLSAHandler
 RNG = np.random.default_rng(3)
 
 
-def make_cohort(tmp_path, n_patients=36):
+def make_cohort(tmp_path, n_patients=36, seed=7):
+    # per-call generator: cohort labels must not depend on test order
+    rng = np.random.default_rng(seed + n_patients)
     rows = []
     for i in range(n_patients):
         pid = f"P{i:03d}"
-        t = round(float(RNG.uniform(2, 90)), 2)
-        e = int(RNG.random() < 0.6)
+        t = round(float(rng.uniform(2, 90)), 2)
+        e = int(rng.random() < 0.6)
         rows.append({"pathology_id": pid + "-slide", "patient_id": pid, "e": e, "t": t})
     table = tmp_path / "survival.csv"
     pd.DataFrame(rows).to_csv(table, index=False)
