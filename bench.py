@@ -28,6 +28,7 @@ fused co-attention kernel + batched MXU-friendly shapes.
 from __future__ import annotations
 
 import json
+import functools
 import time
 
 import numpy as np
@@ -81,6 +82,32 @@ def main():
     train_jit = jax.jit(train_step, donate_argnums=(0, 1))
     infer_jit = jax.jit(infer_step)
 
+    # scanned variants: N steps inside ONE compiled program.  This measures
+    # true device throughput with a single dispatch — the per-call dispatch
+    # latency of a remote/tunnelled runtime would otherwise dominate, and
+    # production training loops run device-resident exactly like this.
+    def train_scan(params, opt_state, feats, mask, t, e, key, n):
+        def body(carry, i):
+            p, o = carry
+            p, o, loss = train_step(p, o, feats, mask, t, e,
+                                    jax.random.fold_in(key, i))
+            return (p, o), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n))
+        return params, opt_state, losses[-1]
+
+    def infer_scan(params, feats, mask, n):
+        def body(chain, _):
+            out = infer_step(params, feats, mask, chain)
+            return out[0, 0], out
+        chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return outs[-1]
+
+    SCAN_N = 20
+    train_scan_jit = jax.jit(functools.partial(train_scan, n=SCAN_N),
+                             donate_argnums=(0, 1))
+    infer_scan_jit = jax.jit(functools.partial(infer_scan, n=SCAN_N))
+
     rng = np.random.default_rng(0)
     feats_dtype = _os.environ.get("VLSA_TPU_BENCH_FEATS_DTYPE", "bfloat16")
     feats = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
@@ -99,20 +126,20 @@ def main():
     out = infer_jit(params, feats, mask, loss * 0.0)
     _ = float(out.sum())
 
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e, key)
-    _ = float(loss)   # forces completion of the whole chained sequence
-    t_train = (time.perf_counter() - t0) / iters
+    # warm the scanned programs, then time (one dispatch per measurement)
+    params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask, t, e, key)
+    _ = float(loss)
+    _ = float(infer_scan_jit(params, feats, mask).sum())
 
-    chain = loss * 0.0
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = infer_jit(params, feats, mask, chain)
-        chain = out[0, 0]
-    _ = float(chain)
-    t_infer = (time.perf_counter() - t0) / iters
+    params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask, t, e, key)
+    _ = float(loss)   # forces completion of all SCAN_N chained steps
+    t_train = (time.perf_counter() - t0) / SCAN_N
+
+    t0 = time.perf_counter()
+    out = infer_scan_jit(params, feats, mask)
+    _ = float(out.sum())
+    t_infer = (time.perf_counter() - t0) / SCAN_N
 
     slides_per_sec = B / (t_train + t_infer)
     result = {

@@ -87,8 +87,10 @@ class AttentionPooling(nn.Module):
                         lambda k, s: torch_bias_init(k, s, fan_in=self.hid_dim), (1,))
         from ..ops import abmil as _abmil
         from vlsa_tpu.ops.abmil import pick_block
+        import os as _os
         fused_ok = (x.ndim == 3 and not need_attn and x.shape[1] >= 256
-                    and pick_block(x.shape[1]) is not None)
+                    and pick_block(x.shape[1]) is not None
+                    and _os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")
         if fused_ok:
             pooled = _abmil.abmil_pool(x, mask, k1.T, b1, k2[:, 0], b2[0])
             return pooled, None

@@ -302,7 +302,8 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
     """
     if use_pallas is None:
         use_pallas = (_HAS_PALLAS and jax.default_backend() == "tpu"
-                      and _pick_block(x.shape[1]) is not None)
+                      and _pick_block(x.shape[1]) is not None
+                      and os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
     if use_pallas:
