@@ -274,3 +274,33 @@ def test_abmil_fused_kernel_interpret():
                                    rtol=1e-4, atol=1e-5)
     finally:
         ab.INTERPRET = old
+
+
+def test_coattn_nodx_kernel_grads():
+    """dQ-only backward (x declared constant) matches the full kernel's dQ
+    and the XLA reference; dX is exactly zero."""
+    import vlsa_tpu.ops.coattn as co
+    co.INTERPRET = True
+    try:
+        P, B, N, C = 5, 2, 512, 64
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(P, C)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, N)) > 0.2)
+
+        def loss_sg(q, x):
+            return co.coattn_pool(q, x, mask, 30.0, use_pallas=True,
+                                  x_stop_gradient=True).sum()
+
+        def loss_ref(q, x):
+            return co.coattn_pool_reference(
+                q, jax.lax.stop_gradient(x), mask, 30.0).sum()
+
+        (dq, dx) = jax.grad(loss_sg, argnums=(0, 1))(q, x)
+        (dq_r, dx_r) = jax.grad(loss_ref, argnums=(0, 1))(q, x)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                                   rtol=2e-4, atol=2e-5)
+        assert np.abs(np.asarray(dx)).max() == 0.0
+        assert np.abs(np.asarray(dx_r)).max() == 0.0
+    finally:
+        co.INTERPRET = False

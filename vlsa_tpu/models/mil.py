@@ -158,7 +158,10 @@ class VLFAN(nn.Module):
             X = self.feat_proj(X)
         q_eff = self.effective_query(query)
         scale = self.coattn_logit_scale
-        out = coattn_pool(q_eff, X, mask, scale)           # [B, P, C]
+        # without a feat projecter nothing learnable feeds X -> declare it
+        # constant so the backward runs the dQ-only kernel (no dX write)
+        out = coattn_pool(q_eff, X, mask, scale,
+                          x_stop_gradient=not self.use_feat_proj)  # [B, P, C]
         pooled, pooled_ext = self.forward_query_pooling(out, train=train)
         feats = self.visual_adapter(pooled) if self.pred_head != "Identity" else pooled
         if ret_with_attn:

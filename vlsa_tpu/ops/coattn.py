@@ -174,6 +174,49 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
         dq_ref[:] = dq_scr[:]
 
 
+def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
+                          stats_ref, dq_ref, dq_scr, *, n_blocks: int):
+    """dQ-only backward: for models where the patch features are constants
+    (no feat projecter / instance adapter upstream), the dX pass is dead
+    work — this kernel skips the [B, N, C] cotangent entirely (one fewer
+    HBM write of B*N*C floats plus one fewer [bn,C]x[C,P] matmul)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_b = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[:]
+    x = x_ref[0].astype(jnp.float32)
+    msk = mask_ref[0, 0]
+    scale = scale_ref[0, 0]
+    g = g_ref[0]
+    out = out_ref[0]
+    m = stats_ref[0][:, 0:1]
+    l = stats_ref[0][:, 1:2]
+
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    xn = x * inv
+    logits = scale * jnp.dot(q, xn.T, preferred_element_type=jnp.float32)
+    logits = jnp.where(msk[None, :] > 0, logits, -1e30)
+    a = jnp.exp(logits - m) / l
+    a = jnp.where(msk[None, :] > 0, a, 0.0)
+
+    da = jnp.dot(g, x.T, preferred_element_type=jnp.float32)
+    s_row = jnp.sum(g * out, axis=-1, keepdims=True)
+    dlogits = a * (da - s_row)
+
+    dq_scr[:] = dq_scr[:] + scale * jnp.dot(
+        dlogits, xn, preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
+    def _finalize():
+        dq_ref[:] = dq_scr[:]
+
+
 def _pad_q(q):
     P = q.shape[0]
     P_pad = max(8, int(np.ceil(P / 8)) * 8)
@@ -265,6 +308,47 @@ def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
     return dx, dq
 
 
+def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats):
+    B, N, C = x.shape
+    block_n = _pick_block(N)
+    n_blocks = N // block_n
+    P_pad = q_pad.shape[0]
+
+    kernel = functools.partial(_coattn_bwd_dq_kernel, n_blocks=n_blocks)
+    dq = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad, _STATS_LANES), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P_pad, C), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P_pad, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((P_pad, C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * C * P_pad,
+            bytes_accessed=4 * (B * N * C + 3 * B * P_pad * C),
+            transcendentals=B * P_pad * N,
+        ),
+    )(q_pad, x, mask.astype(jnp.float32)[:, None, :],
+      jnp.asarray(scale, jnp.float32).reshape(1, 1), g_pad, out_pad, stats)
+    return dq
+
+
+@jax.custom_vjp
+def _coattn_pool_tpu_nodx(q, x, mask, scale):
+    out, _stats, P, _P_pad = _coattn_pallas_fwd(q, x, mask, scale)
+    return out[:, :P, :]
+
+
 @jax.custom_vjp
 def _coattn_pool_tpu(q, x, mask, scale):
     out, _stats, P, _P_pad = _coattn_pallas_fwd(q, x, mask, scale)
@@ -289,13 +373,32 @@ def _coattn_bwd_rule(res, g):
 _coattn_pool_tpu.defvjp(_coattn_fwd_rule, _coattn_bwd_rule)
 
 
+def _coattn_nodx_bwd_rule(res, g):
+    q_pad, x, mask, scale, out_pad, stats, P = res
+    P_pad = q_pad.shape[0]
+    g_pad = jnp.pad(g, ((0, 0), (0, P_pad - P), (0, 0))) if P_pad != P else g
+    dq = _coattn_pallas_bwd_dq(q_pad.astype(jnp.float32), x, mask, scale,
+                               g_pad.astype(jnp.float32), out_pad, stats)
+    # x is declared constant on this path; its zero cotangent is DCE'd
+    return dq[:P], jnp.zeros_like(x), None, None
+
+
+_coattn_pool_tpu_nodx.defvjp(_coattn_fwd_rule, _coattn_nodx_bwd_rule)
+
+
 def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
-                use_pallas: Optional[bool] = None) -> Array:
+                use_pallas: Optional[bool] = None,
+                x_stop_gradient: bool = False) -> Array:
     """Fused masked cross-attention pooling.
 
     q [P, C] effective queries (already l2-normalised and gate-combined),
     x [B, N, C] raw patch features, mask [B, N] validity, scale scalar.
     Returns [B, P, C].
+
+    `x_stop_gradient=True` declares the patch features constants: the
+    backward uses the dQ-only kernel, skipping the [B, N, C] dX write —
+    the right setting whenever nothing learnable feeds X (VLFAN without a
+    feat projecter, the common production config).
 
     Note: `scale` is treated as a constant in the Pallas path (the VLFAN
     co-attention scale is a frozen buffer, ref deepmil.py:121-126).
@@ -307,5 +410,10 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
     if use_pallas:
-        return _coattn_pool_tpu(q, x, mask, jnp.asarray(scale, jnp.float32))
+        scale = jnp.asarray(scale, jnp.float32)
+        if x_stop_gradient:
+            return _coattn_pool_tpu_nodx(q, jax.lax.stop_gradient(x), mask, scale)
+        return _coattn_pool_tpu(q, x, mask, scale)
+    if x_stop_gradient:
+        x = jax.lax.stop_gradient(x)
     return coattn_pool_reference(q, x, mask, scale)
