@@ -55,11 +55,20 @@ def main():
 
     dtype = os.environ.get("VLSA_TPU_BENCH_DTYPE", "bfloat16")
     model, params = _build_flagship(small=False, tower_dtype=dtype)
-    tx = create_optimizer("adam", 2e-4, 1e-5, params)
+    # production semantics: the text tower is frozen during VLSA training
+    # (ref runner/vlsa_handler.py:126-149) — no grads, no moments for it
+    frozen_tower = _os.environ.get("VLSA_TPU_BENCH_FROZEN_TOWER", "1") == "1"
+    frozen = jax.tree.map(lambda _: False, dict(params))
+    if frozen_tower:
+        frozen["prompt_encoder"] = jax.tree.map(
+            lambda _: True, dict(params)["prompt_encoder"])
+    tx = create_optimizer("adam", 2e-4, 1e-5, params, frozen=frozen)
     opt_state = tx.init(params)
 
     def train_step(params, opt_state, feats, mask, t, e, rng):
         def loss_fn(p):
+            if frozen_tower:
+                p = dict(p, prompt_encoder=jax.lax.stop_gradient(p["prompt_encoder"]))
             logits, _i, _t = model.apply({"params": p}, feats, mask,
                                          train=True, rngs={"dropout": rng})
             probs = jax.nn.softmax(logits, axis=-1)
@@ -155,6 +164,7 @@ def main():
             "backend": jax.default_backend(),
             "tower_compute_dtype": dtype,
             "feats_dtype": feats_dtype,
+            "frozen_text_tower": frozen_tower,
             "reference_estimate_slides_per_sec": REFERENCE_SLIDES_PER_SEC,
         },
     }

@@ -164,6 +164,7 @@ class BaseHandler:
     def func_load_optimizer(self, cfg):
         from ..optim.factory import frozen_mask_from_cfg
         frozen = frozen_mask_from_cfg(self.params, self.frozen_paths(cfg))
+        self.frozen_mask = frozen
         tx = create_optimizer(cfg["opt_name"], cfg["opt_lr"],
                               cfg.get("opt_weight_decay", 0.0), self.params,
                               frozen=frozen)
@@ -193,7 +194,8 @@ class BaseHandler:
                   f"model={mesh.shape['model']}")
         engine = TrainEngine(self.model, self.tx, objective, uses_vl=self.uses_vl,
                              has_query_div="QueryDiv" in self.loss,
-                             accum_steps=cfg.get("accum_steps", 1), mesh=mesh)
+                             accum_steps=cfg.get("accum_steps", 1), mesh=mesh,
+                             frozen=getattr(self, "frozen_mask", None))
         if mesh is not None:
             # replicate params/opt-state across the mesh once
             self.params = engine.replicate(self.params)

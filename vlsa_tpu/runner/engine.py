@@ -57,13 +57,20 @@ class TrainEngine:
 
     def __init__(self, model, tx, objective, uses_vl: bool,
                  has_query_div: bool = False, mesh: Optional[Mesh] = None,
-                 donate: bool = True, accum_steps: int = 1):
+                 donate: bool = True, accum_steps: int = 1,
+                 frozen: Optional[dict] = None):
         self.model = model
         self.tx = tx
         self.objective = objective
         self.uses_vl = uses_vl
         self.has_query_div = has_query_div
         self.mesh = mesh
+        # pytree of bools marking frozen subtrees: their leaves are
+        # stop-gradient'd inside the loss so AD never runs the (potentially
+        # huge) backward through them — mirroring torch requires_grad=False
+        # (ref utils/func.py:155-176), which the optimizer-level zero-update
+        # masking alone does not
+        self.frozen = frozen
         # accum_steps > 1: lax.scan over microbatches inside the jitted step
         # (memory headroom for very long bags; same averaged gradient)
         self.accum_steps = accum_steps
@@ -93,7 +100,13 @@ class TrainEngine:
         tx = self.tx
         accum = self.accum_steps
 
+        frozen = self.frozen
+
         def loss_fn(p, batch, rng):
+            if frozen is not None:
+                p = jax.tree.map(
+                    lambda v, f: jax.lax.stop_gradient(v) if f else v,
+                    p, frozen)
             extra = {k: batch[k] for k in ("cluster_id", "edge_index", "edge_valid")
                      if k in batch}
             out = model.apply({"params": p}, batch["feats"],
