@@ -112,7 +112,7 @@ def main():
         chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]
 
-    SCAN_N = 20
+    SCAN_N = int(_os.environ.get("VLSA_TPU_BENCH_SCAN_N", "20"))
     train_scan_jit = jax.jit(functools.partial(train_scan, n=SCAN_N),
                              donate_argnums=(0, 1))
     infer_scan_jit = jax.jit(functools.partial(infer_scan, n=SCAN_N))
