@@ -4,6 +4,8 @@ The reference has no schema (flat dict + key-prefix convention, SURVEY.md §5);
 this adds a warn-first validation layer so typos in the prefixed key names
 (the classic failure mode of `fetch_kws` namespacing) surface before a run
 spends minutes compiling.
+
+No reference counterpart (the reference validates nothing, survey.md §5 config row); warn-first schema over the same flat-yaml surface.
 """
 from __future__ import annotations
 

@@ -5,6 +5,8 @@ native/build/) and falls back to the pure-numpy path when no toolchain is
 available.  Used by `BagBatcher` for `.npy` feature stores — the TPU-friendly
 on-disk format produced by `vlsa_tpu.data.convert` from the reference's
 torch `.pt` blobs (SURVEY.md §7.3 "Host-side data path").
+
+Replaces torch dataloader workers (ref dataset/patchwsi.py read path) with a native c++ batch assembler.
 """
 from __future__ import annotations
 

@@ -10,6 +10,8 @@ all-reduce over ICI merges them:
 P is tiny (<=16), so the collective moves only O(B*P*C) bytes — no ring pass
 needed (a single psum saturates nothing).  Implemented with shard_map so the
 collective placement is explicit and testable on a CPU mesh.
+
+No reference counterpart (the reference is single-gpu, survey.md §2.8); this implements the sequence-parallel plan from survey.md §5.
 """
 from __future__ import annotations
 

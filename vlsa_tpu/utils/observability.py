@@ -5,6 +5,8 @@ Fills SURVEY.md §5's absent-in-reference aux subsystems the TPU build owns:
   * jax.profiler traces (Perfetto-compatible) around training epochs when
     `profile_dir` is configured,
   * `debug_nans` flag flips jax_debug_nans for fail-fast numerical debugging.
+
+Replaces the reference's wandb-only logging (ref runner/base_handler.py:85-105) with structured jsonl + profiling hooks.
 """
 from __future__ import annotations
 
