@@ -156,8 +156,13 @@ def test_vlsa_end_to_end(tmp_path):
     table, split = make_cohort(tmp_path, n_patients=30)
     cfg = vlsa_cfg(tmp_path, table, split)
     handler = VLSAHandler(cfg)
+    import jax, copy
+    tower_before = jax.tree.map(np.array, dict(handler.params)["prompt_encoder"])
     # logit_scale + prompt learner params must be trainable; tower frozen
     metrics = handler.exec()
+    tower_after = dict(handler.params)["prompt_encoder"]
+    for a, b in zip(jax.tree.leaves(tower_before), jax.tree.leaves(tower_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     vals = dict(metrics["test"])
     assert 0.0 <= vals["pred_c_index"] <= 1.0
     assert np.isfinite(vals["pred_loss"])
