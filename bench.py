@@ -35,7 +35,7 @@ import numpy as np
 
 REFERENCE_SLIDES_PER_SEC = 12.0  # analytic estimate, see module docstring
 import os as _os
-B = int(_os.environ.get("VLSA_TPU_BENCH_B", 64))
+B = int(_os.environ.get("VLSA_TPU_BENCH_B", 128))
 N, D, K = 10240, 512, 12
 
 
@@ -106,8 +106,16 @@ def main():
         return params, opt_state, losses[-1]
 
     def infer_scan(params, feats, mask, n):
+        # the chain must reach the model INPUTS (prompt embeddings), not just
+        # the output — otherwise the whole forward is loop-invariant and XLA
+        # hoists it out of the scan, measuring nothing
         def body(chain, _):
-            out = infer_step(params, feats, mask, chain)
+            p = dict(params)
+            pl_tree = dict(p["prompt_learner"])
+            pl_tree["context_embeds"] = (
+                pl_tree["context_embeds"] + chain * 1e-30)
+            p["prompt_learner"] = pl_tree
+            out = infer_step(p, feats, mask, jnp.float32(0.0))
             return out[0, 0], out
         chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]

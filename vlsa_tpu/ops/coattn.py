@@ -45,8 +45,8 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 # Patch-axis tile for the flash-style streaming kernels.  512 won the on-chip
-# v5e sweep (256: 2041, 512: 2166, 1024: 2158 slides/s — STATUS.md);
-# overridable for tuning on other TPU generations.
+# v5e sweep (256: 3363, 512: 3572 slides/s, honest scanned timing —
+# STATUS.md); overridable for tuning on other TPU generations.
 _BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "512"))
 _STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
