@@ -304,3 +304,37 @@ def test_coattn_nodx_kernel_grads():
         assert np.abs(np.asarray(dx_r)).max() == 0.0
     finally:
         co.INTERPRET = False
+
+
+def test_trimmed_prompt_forward_identical():
+    """Trimmed prompt encoding (VLSA.text_trim_len) is numerically identical
+    to the full-context forward: causal attention means positions past the
+    last real token never reach the cls/eot readout, and the cls token keeps
+    its full-length positional row."""
+    from vlsa_tpu.models.text_encoder import make_text_tower
+
+    tower = make_text_tower("CONCH", width=64, heads=4, layers=2,
+                            context_length=128, output_dim=32)
+    K, L_full = 3, tower.max_num_tokens
+    rng = np.random.default_rng(0)
+    real_lens = [9, 14, 11]
+    embeds = np.zeros((K, L_full, 64), np.float32)
+    pseudo = np.zeros((K, L_full), np.int32)
+    pad_embed = rng.normal(size=(64,)).astype(np.float32)  # shared pad vector
+    embeds[:] = pad_embed
+    for k, sl in enumerate(real_lens):
+        embeds[k, :sl] = rng.normal(size=(sl, 64))
+        pseudo[k, :sl] = np.arange(sl) + 1
+
+    params = tower.init(jax.random.PRNGKey(0),
+                        prompts_embedding=jnp.asarray(embeds),
+                        prompts_pseudo_tokens=jnp.asarray(pseudo))["params"]
+    full = tower.apply({"params": params},
+                       prompts_embedding=jnp.asarray(embeds),
+                       prompts_pseudo_tokens=jnp.asarray(pseudo))
+    trim = min(-(-(max(real_lens) + 1) // 8) * 8, L_full)
+    trimmed = tower.apply({"params": params},
+                          prompts_embedding=jnp.asarray(embeds[:, :trim]),
+                          prompts_pseudo_tokens=jnp.asarray(pseudo[:, :trim]))
+    np.testing.assert_allclose(np.asarray(trimmed), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)

@@ -194,27 +194,33 @@ class TextTower(nn.Module):
             assert prompts_embedding is not None and prompts_pseudo_tokens is not None
             x = prompts_embedding
         K, seq_len, _ = x.shape
-        if self.api == "HF":
-            # HF CLIP accepts shorter padded batches (ref prompt_encoder.py:158-170)
-            assert seq_len <= self.max_num_tokens
-        else:
-            assert seq_len == self.max_num_tokens
+        # shorter-than-context inputs are allowed for every api: with causal
+        # attention, positions past the last real token cannot influence the
+        # eot/cls readout, so trimmed prompts give identical poolings while
+        # skipping dead attention/MLP work on padding (TPU-first trimming;
+        # the reference always runs full-context, prompt_encoder.py:210-322)
+        assert seq_len <= self.max_num_tokens
 
         attn_mask = causal_mask(self.context_length)
         if self.api == "CONCH":
+            # the appended cls token keeps the positional row it has at full
+            # context length (index context_length-1), so the trimmed forward
+            # is numerically identical to the full one
+            x = x + self.positional_embedding[:seq_len]
+            cls_vec = self.cls_emb + self.positional_embedding[self.context_length - 1]
             seq_len += 1
             x = jnp.concatenate(
-                [x, jnp.broadcast_to(self.cls_emb[None, None], (K, 1, self.width))], axis=1)
+                [x, jnp.broadcast_to(cls_vec[None, None], (K, 1, self.width))], axis=1)
             cls_mask = self._conch_cls_mask(prompts_pseudo_tokens, seq_len)
             attn_mask = attn_mask[None, None, :seq_len, :seq_len] + cls_mask
         elif self.api == "HF":
             key_valid = prompts_pseudo_tokens > 0  # [K, L]
             pad_mask = jnp.where(key_valid[:, None, :], 0.0, NEG_INF)  # [K, 1, L]
             attn_mask = attn_mask[None, None, :seq_len, :seq_len] + pad_mask[:, None]
+            x = x + self.positional_embedding[:seq_len]
         else:  # CLIP: causal only
             attn_mask = attn_mask[:seq_len, :seq_len]
-
-        x = x + self.positional_embedding[:seq_len]
+            x = x + self.positional_embedding[:seq_len]
         for blk in self.blocks:
             x = blk(x, attn_mask)
 

@@ -42,6 +42,12 @@ class VLSA(nn.Module):
     pooling: str = "logit_mean"                  # zero-shot logit pooling
     logit_scale_init: float = CLIP_LOGIT_SCALE_INIT
     pretrained_text_features: Any = None         # np const when prompts frozen
+    # static trimmed prompt length: with causal attention the eot/cls readout
+    # is identical when trailing padding is dropped, so the tower runs on
+    # [K, trim, D] instead of [K, context-1, D] (build_vlsa computes the
+    # exact-safe trim: max real length + 1 trailing pad the reference's cls
+    # mask attends to, rounded up; None = full length)
+    text_trim_len: Any = None
 
     def setup(self):
         self.logit_scale = self.param(
@@ -57,6 +63,9 @@ class VLSA(nn.Module):
         if self.prompt_learner is not None:
             sentence_embeds = self.prompt_learner()
             pseudo = jnp.asarray(self.prompt_learner.pseudo_sentence_tokens)
+            if self.text_trim_len is not None:
+                sentence_embeds = sentence_embeds[:, :self.text_trim_len]
+                pseudo = pseudo[:, :self.text_trim_len]
             return self.prompt_encoder(prompts_embedding=sentence_embeds,
                                    prompts_pseudo_tokens=pseudo)
         if self.prompt_adapter is not None:

@@ -173,6 +173,18 @@ def build_vlsa(
         })
         query_adapter = build_prompt_adapter(q_cfg, tokenizer, encode_texts)
 
+    # exact-safe prompt trimming (see VLSA.text_trim_len): keep the longest
+    # real sentence + 1 trailing pad (the reference's cls mask marks the slot
+    # after the last real token as a valid key, prompt_encoder.py:27-32 of
+    # model/conch via open_clip's off-by-one), rounded up for sublane tiling
+    text_trim_len = None
+    if prompt_learner is not None and prompt_learner_cfg.get("trim_prompts", True):
+        pseudo_np = np.asarray(prompt_learner.pseudo_sentence_tokens)
+        max_real = int(pseudo_np.max())
+        trim = min(-(-(max_real + 1) // 8) * 8, tower.max_num_tokens)
+        if trim < tower.max_num_tokens:
+            text_trim_len = trim
+
     model = VLSA(
         # the tower is only a live submodule when the CoOp path runs through
         # it at every step; Adapter/frozen paths precompute on host
@@ -184,6 +196,7 @@ def build_vlsa(
         pooling=image_encoder_cfg.get("pooling", "logit_mean"),
         logit_scale_init=logit_scale_init,
         pretrained_text_features=pretrained_text_features,
+        text_trim_len=text_trim_len,
     )
 
     D = image_encoder_cfg.get("dim_in", 512)
