@@ -148,6 +148,10 @@ def main():
     _ = float(loss)
     _ = float(infer_scan_jit(params, feats, mask).sum())
 
+    profile_dir = _os.environ.get("VLSA_TPU_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.perf_counter()
     params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask, t, e, key)
     _ = float(loss)   # forces completion of all SCAN_N chained steps
@@ -157,6 +161,9 @@ def main():
     out = infer_scan_jit(params, feats, mask)
     _ = float(out.sum())
     t_infer = (time.perf_counter() - t0) / SCAN_N
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"[bench] profile trace written to {profile_dir}")
 
     slides_per_sec = B / (t_train + t_infer)
     result = {
