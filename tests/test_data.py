@@ -93,3 +93,15 @@ def test_few_shot_dataset():
     assert events.sum() >= 1
     idx, (feats, _), label = fs[0]
     assert feats.shape[1] == 16
+
+
+def test_ratio_sampling():
+    """Patient-level subsampling (ref utils/func.py:109-121 semantics):
+    float = fraction, int = count; partition is exact."""
+    from vlsa_tpu.data.bags import sampling_data
+    np.random.seed(0)
+    data = [f"P{i}" for i in range(10)]
+    s, left = sampling_data(data, 0.3)
+    assert len(s) == 3 and len(left) == 7 and not set(s) & set(left)
+    s2, left2 = sampling_data(data, 4)
+    assert len(s2) == 4 and sorted(s2 + left2) == sorted(data)
