@@ -44,10 +44,11 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-# Patch-axis tile for the flash-style streaming kernels.  512 won the on-chip
-# v5e sweep (256: 3363, 512: 3572 slides/s, honest scanned timing —
-# STATUS.md); overridable for tuning on other TPU generations.
-_BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "512"))
+# Patch-axis tile for the flash-style streaming kernels.  2048 won the
+# on-chip v5e sweep (B=128 production config: 512 -> 11773, 1024 -> 13582,
+# 2048 -> 14222 slides/s; 5120/10240 exceed VMEM — STATUS.md); overridable
+# for tuning on other TPU generations.
+_BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "2048"))
 _STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 
@@ -55,7 +56,7 @@ INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 def _pick_block(N: int):
     """Largest tile from {_BLOCK_N, 512, 256, 128} that divides N (None if
     none does -> caller falls back to the XLA reference path)."""
-    for b in (_BLOCK_N, 512, 256, 128):
+    for b in (_BLOCK_N, 2048, 1024, 512, 256, 128):
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
             return b
