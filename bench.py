@@ -152,15 +152,21 @@ def main():
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    t0 = time.perf_counter()
-    params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask, t, e, key)
-    _ = float(loss)   # forces completion of all SCAN_N chained steps
-    t_train = (time.perf_counter() - t0) / SCAN_N
+    # best-of-2: a single one-way tunnel stall otherwise pollutes the number
+    t_train = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_scan_jit(params, opt_state, feats,
+                                                 mask, t, e, key)
+        _ = float(loss)   # forces completion of all SCAN_N chained steps
+        t_train = min(t_train, (time.perf_counter() - t0) / SCAN_N)
 
-    t0 = time.perf_counter()
-    out = infer_scan_jit(params, feats, mask)
-    _ = float(out.sum())
-    t_infer = (time.perf_counter() - t0) / SCAN_N
+    t_infer = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        out = infer_scan_jit(params, feats, mask)
+        _ = float(out.sum())
+        t_infer = min(t_infer, (time.perf_counter() - t0) / SCAN_N)
     if profile_dir:
         jax.profiler.stop_trace()
         print(f"[bench] profile trace written to {profile_dir}")
