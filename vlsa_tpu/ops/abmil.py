@@ -36,7 +36,7 @@ _BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "256"))
 
 def pick_block(N: int):
     """Largest 128-aligned tile from {_BLOCK_N, 512, 256, 128} dividing N."""
-    for b in (_BLOCK_N, 512, 256, 128):
+    for b in (_BLOCK_N, 2048, 1024, 512, 256, 128):
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
             return b
