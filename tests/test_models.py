@@ -338,3 +338,32 @@ def test_trimmed_prompt_forward_identical():
                           prompts_pseudo_tokens=jnp.asarray(pseudo[:, :trim]))
     np.testing.assert_allclose(np.asarray(trimmed), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_abmil_fused_backward_grads():
+    """Fused streaming ABMIL backward matches XLA-reference gradients for
+    every input (x, W1, b1, w2) under masking."""
+    import vlsa_tpu.ops.abmil as ab
+    ab.INTERPRET = True
+    try:
+        B, N, D, H = 2, 512, 64, 32
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, N)) > 0.25)
+        w1 = jnp.asarray(rng.normal(size=(H, D)) * 0.2, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(H,)) * 0.2, jnp.float32)
+
+        def loss_fused(x, w1, b1, w2):
+            return (ab._abmil_pool_tpu(x, mask, w1, b1, w2) ** 2).sum()
+
+        def loss_ref(x, w1, b1, w2):
+            return (ab.abmil_pool_reference(x, mask, w1, b1, w2, 0.0)[0] ** 2).sum()
+
+        got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w1, b1, w2)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w1, b1, w2)
+        for a, b, name in zip(got, want, ("dx", "dw1", "db1", "dw2")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5, err_msg=name)
+    finally:
+        ab.INTERPRET = False

@@ -7,8 +7,10 @@ softmax-pools the bag (ref model/layers.py:125-153):
 
 On TPU the [B, N, hid] tanh intermediate dominates HBM traffic; the Pallas
 kernel streams X once per bag, computing the projection, the masked online
-softmax, and the weighted-sum accumulation in VMEM.  Backward recomputes
-through the XLA reference (the output is only [B, D]).
+softmax, and the weighted-sum accumulation in VMEM.  Backward is a second
+streaming pass: it recomputes the bottleneck from the saved softmax stats,
+writes dX in-stream, and accumulates dW1/db1/dw2 in VMEM scratch across the
+whole grid (same flash trick as ops/coattn.py).
 """
 from __future__ import annotations
 
@@ -52,7 +54,7 @@ def abmil_pool_reference(x, mask, w1, b1, w2, b2):
     return jnp.einsum("bn,bnd->bd", attn, x), raw
 
 
-def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref,
+def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref, stats_ref,
                   m_scr, l_scr, acc_scr, *, n_blocks: int):
     i = pl.program_id(1)
 
@@ -85,6 +87,9 @@ def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref,
     @pl.when(i == n_blocks - 1)
     def _fin():
         out_ref[0] = acc_scr[:] / jnp.maximum(l_scr[0, 0], 1e-30)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        stats_ref[0] = (jnp.where(lane == 0, m_scr[0, 0], 0.0)
+                        + jnp.where(lane == 1, jnp.maximum(l_scr[0, 0], 1e-30), 0.0))
 
 
 def _abmil_pallas(x, mask, w1, b1, w2):
@@ -105,8 +110,14 @@ def _abmil_pallas(x, mask, w1, b1, w2):
             pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
@@ -120,25 +131,129 @@ def _abmil_pallas(x, mask, w1, b1, w2):
     )(x, mask.astype(jnp.float32)[:, None, :],
       w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :],
       w2.astype(jnp.float32)[None, :])
-    return out[:, 0, :]
+    out, stats = out
+    return out[:, 0, :], stats
+
+
+def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
+                      stats_ref, dx_ref, dw1_ref, db1_ref, dw2_ref,
+                      dw1_scr, db1_scr, dw2_scr, *, n_blocks: int):
+    """Streaming backward: one more pass over X.  Per block it recomputes the
+    tanh bottleneck and the softmax from the saved (m, l) stats, writes dX
+    in-stream, and accumulates dW1/db1/dw2 in VMEM scratch across the entire
+    grid (flash trick: sum_n a_n (g.x_n) = g.out collapses the softmax
+    Jacobian row term)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_b = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _init():
+        dw1_scr[:] = jnp.zeros_like(dw1_scr)
+        db1_scr[:] = jnp.zeros_like(db1_scr)
+        dw2_scr[:] = jnp.zeros_like(dw2_scr)
+
+    x = x_ref[0].astype(jnp.float32)      # [bn, D]
+    msk = mask_ref[0, 0]                  # [bn]
+    w1 = w1_ref[:]                        # [hid, D]
+    b1 = b1_ref[0]                        # [hid]
+    w2 = w2_ref[0]                        # [hid]
+    g = g_ref[0]                          # [1, D]
+    out = out_ref[0]                      # [1, D]
+    m = stats_ref[0][0, 0]
+    l = stats_ref[0][0, 1]
+
+    h = jnp.tanh(jnp.dot(x, w1.T, preferred_element_type=jnp.float32) + b1[None, :])
+    logits = jnp.sum(h * w2[None, :], axis=-1)
+    logits = jnp.where(msk > 0, logits, -1e30)
+    a = jnp.exp(logits - m) / l
+    a = jnp.where(msk > 0, a, 0.0)                       # [bn]
+
+    gx = jnp.dot(x, g[0], preferred_element_type=jnp.float32)   # [bn]
+    gout = jnp.sum(g[0] * out[0])                               # scalar
+    ds = a * (gx - gout)                                        # [bn]
+    dz = (ds[:, None] * w2[None, :]) * (1.0 - h * h)            # [bn, hid]
+
+    dx = a[:, None] * g + jnp.dot(dz, w1, preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    dw1_scr[:] = dw1_scr[:] + jnp.dot(dz.T, x, preferred_element_type=jnp.float32)
+    db1_scr[:] = db1_scr[:] + jnp.sum(dz, axis=0, keepdims=True)
+    dw2_scr[:] = dw2_scr[:] + jnp.dot(ds[None, :], h,
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
+    def _fin():
+        dw1_ref[:] = dw1_scr[:]
+        db1_ref[:] = db1_scr[:]
+        dw2_ref[:] = dw2_scr[:]
+
+
+def _abmil_pallas_bwd(x, mask, w1, b1, w2, g, out, stats):
+    B, N, D = x.shape
+    hid = w1.shape[0]
+    block_n = pick_block(N)
+    n_blocks = N // block_n
+    kernel = functools.partial(_abmil_bwd_kernel, n_blocks=n_blocks)
+    dx, dw1, db1, dw2 = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((hid, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, hid), jnp.float32),
+            jax.ShapeDtypeStruct((1, hid), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hid, D), jnp.float32),
+            pltpu.VMEM((1, hid), jnp.float32),
+            pltpu.VMEM((1, hid), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * N * D * hid,
+            bytes_accessed=4 * (2 * B * N * D + 2 * B * D + hid * D),
+            transcendentals=B * N * hid,
+        ),
+    )(x, mask.astype(jnp.float32)[:, None, :],
+      w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :],
+      w2.astype(jnp.float32)[None, :],
+      g[:, None, :].astype(jnp.float32), out[:, None, :], stats[:, None, :])
+    return dx, dw1, db1[0], dw2[0]
 
 
 @jax.custom_vjp
 def _abmil_pool_tpu(x, mask, w1, b1, w2):
-    return _abmil_pallas(x, mask, w1, b1, w2)
+    out, _stats = _abmil_pallas(x, mask, w1, b1, w2)
+    return out
 
 
 def _abmil_fwd(x, mask, w1, b1, w2):
-    return _abmil_pallas(x, mask, w1, b1, w2), (x, mask, w1, b1, w2)
+    out, stats = _abmil_pallas(x, mask, w1, b1, w2)
+    return out, (x, mask, w1, b1, w2, out, stats)
 
 
 def _abmil_bwd(res, g):
-    x, mask, w1, b1, w2 = res
-    _, vjp = jax.vjp(
-        lambda x_, w1_, b1_, w2_: abmil_pool_reference(x_, mask, w1_, b1_, w2_, 0.0)[0],
-        x, w1, b1, w2)
-    dx, dw1, db1, dw2 = vjp(g)
-    return dx, None, dw1, db1, dw2
+    x, mask, w1, b1, w2, out, stats = res
+    dx, dw1, db1, dw2 = _abmil_pallas_bwd(
+        x, mask, w1, b1, w2, g, out, stats[:, 0, :])
+    return dx, None, dw1.astype(w1.dtype), db1.astype(b1.dtype), dw2.astype(w2.dtype)
 
 
 _abmil_pool_tpu.defvjp(_abmil_fwd, _abmil_bwd)
