@@ -39,7 +39,9 @@ def main():
     tx = create_optimizer("adam", 2e-4, 1e-5, params)
     opt_state = tx.init(params)
 
-    def train_step(params, opt_state, key):
+    # data must be ARGUMENTS, not closure constants: a closed-over 640 MB
+    # feats array is embedded in the HLO, which the remote compiler rejects
+    def train_step(params, opt_state, feats, mask, t, e, key):
         def loss_fn(p):
             logits = model.apply({"params": p}, feats, mask, train=True,
                                  rngs={"dropout": key})
@@ -49,10 +51,11 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def scan(params, opt_state, key, n=SCAN_N):
+    def scan(params, opt_state, feats, mask, t, e, key, n=SCAN_N):
         def body(carry, i):
             p, o = carry
-            p, o, loss = train_step(p, o, jax.random.fold_in(key, i))
+            p, o, loss = train_step(p, o, feats, mask, t, e,
+                                    jax.random.fold_in(key, i))
             return (p, o), loss
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), jnp.arange(n))
@@ -60,12 +63,12 @@ def main():
 
     fn = jax.jit(scan, donate_argnums=(0, 1))
     key = jax.random.PRNGKey(1)
-    params, opt_state, loss = fn(params, opt_state, key)
+    params, opt_state, loss = fn(params, opt_state, feats, mask, t, e, key)
     _ = float(loss)
     best = float("inf")
     for _rep in range(2):
         t0 = time.perf_counter()
-        params, opt_state, loss = fn(params, opt_state, key)
+        params, opt_state, loss = fn(params, opt_state, feats, mask, t, e, key)
         _ = float(loss)
         best = min(best, (time.perf_counter() - t0) / SCAN_N)
     fused = os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1"
