@@ -33,7 +33,10 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-_BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "256"))
+# 1024 won the on-chip v5e sweep (B=64 x N=10240 x D=512, full train step:
+# fused@256 10.08 ms, pure-XLA 8.91 ms, fused@1024 8.16 ms; 2048 exceeds
+# VMEM) — examples/bench_abmil.py
+_BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "1024"))
 
 
 def pick_block(N: int):
