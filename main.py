@@ -57,9 +57,22 @@ def multi_run_main(handler, config, sleep=0):
         print("[INFO] Metrics:", metrics)
 
 
+def apply_platform_config(config):
+    """Honor `jax_platforms` / `jax_num_cpu_devices` config keys before any
+    device is touched (some environments pin the platform in sitecustomize,
+    so the JAX_PLATFORMS env var alone is not enough)."""
+    if config.get("jax_platforms"):
+        import jax
+        jax.config.update("jax_platforms", str(config["jax_platforms"]))
+        if config.get("jax_num_cpu_devices"):
+            jax.config.update("jax_num_cpu_devices",
+                              int(config["jax_num_cpu_devices"]))
+
+
 if __name__ == "__main__":
     cli = get_args()
     config = load_config(cli["config"])
+    apply_platform_config(config)
     print_config(config)
     handler = {"SA": SAHandler, "VLSA": VLSAHandler, "CLF": CLFHandler}[cli["handler"]]
     if cli["multi_run"]:

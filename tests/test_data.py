@@ -105,3 +105,34 @@ def test_ratio_sampling():
     assert len(s) == 3 and len(left) == 7 and not set(s) & set(left)
     s2, left2 = sampling_data(data, 4)
     assert len(s2) == 4 and sorted(s2 + left2) == sorted(data)
+
+
+def test_bag_overflow_policy():
+    """A bag larger than the bucket must raise by default (the reference
+    uses every patch, ref dataset/PatchWSI.py:205-215); 'warn'/'truncate'
+    opt into capping, counted on the batcher."""
+    from vlsa_tpu.data.pipeline import BagOverflowError, pad_bag
+
+    meta, split = _meta()
+    pids = split["train"][:4]
+    ds = SurvBagDataset(pids, "synthetic://N=300,D=8,seed=1", "patch", meta)
+
+    with pytest.raises(BagOverflowError):
+        list(BagBatcher(ds, batch_size=4, fixed_bucket=128))
+
+    b = BagBatcher(ds, batch_size=4, fixed_bucket=128, overflow="warn")
+    batches = list(b)
+    assert batches[0]["feats"].shape[1] == 128
+    assert b.truncated_bags == 4
+    assert b.truncated_patches > 0
+
+    # no overflow -> no complaint, counters stay zero (bags concatenate all
+    # slides of a patient, so size up to n_slides * 450 here)
+    b2 = BagBatcher(ds, batch_size=4, fixed_bucket=2048)
+    list(b2)
+    assert b2.truncated_bags == 0
+
+    with pytest.raises(BagOverflowError):
+        pad_bag(np.zeros((10, 4), np.float32), 8)
+    f, m = pad_bag(np.zeros((10, 4), np.float32), 8, overflow="truncate")
+    assert f.shape == (8, 4) and m.all()

@@ -25,10 +25,34 @@ def bucket_length(n: int, min_bucket: int = 256, max_bucket: Optional[int] = Non
     return b
 
 
-def pad_bag(feats: np.ndarray, target_n: int):
-    """Pad/truncate a `[N, D]` bag to `[target_n, D]` + boolean mask `[target_n]`."""
+class BagOverflowError(ValueError):
+    """A bag holds more patches than the padding bucket allows."""
+
+
+def _handle_overflow(n: int, target_n: int, overflow: str) -> None:
+    if overflow == "error":
+        raise BagOverflowError(
+            f"bag of {n} patches exceeds the {target_n}-patch bucket; the "
+            f"reference uses every patch (ref dataset/PatchWSI.py:205-215). "
+            f"Raise `fixed_bucket`/`max_bucket`, or set bag_overflow: "
+            f"'warn'/'truncate' to intentionally cap bags.")
+    if overflow == "warn":
+        print(f"[BagBatcher] WARNING: bag of {n} patches truncated to "
+              f"{target_n} ({n - target_n} patches dropped)")
+    elif overflow != "truncate":
+        raise ValueError(f"invalid overflow policy {overflow!r}")
+
+
+def pad_bag(feats: np.ndarray, target_n: int, overflow: str = "error"):
+    """Pad a `[N, D]` bag to `[target_n, D]` + boolean mask `[target_n]`.
+
+    Bags longer than `target_n` follow the `overflow` policy: 'error'
+    (default — the reference never discards patches), 'warn' (truncate
+    loudly), or 'truncate' (silent, for callers that already accounted)."""
     n, d = feats.shape
     if n >= target_n:
+        if n > target_n:
+            _handle_overflow(n, target_n, overflow)
         return feats[:target_n], np.ones(target_n, np.bool_)
     out = np.zeros((target_n, d), feats.dtype)
     out[:n] = feats
@@ -49,7 +73,7 @@ class BagBatcher:
                  seed: int = 0, min_bucket: int = 256,
                  max_bucket: Optional[int] = None, drop_last: bool = False,
                  prefetch: int = 2, fixed_bucket: Optional[int] = None,
-                 feats_dtype: str = "float32"):
+                 feats_dtype: str = "float32", overflow: str = "error"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,7 +87,18 @@ class BagBatcher:
         self.fixed_bucket = fixed_bucket
         # bf16 feature storage halves HBM traffic of the coattn kernels
         self.feats_dtype = feats_dtype
+        # policy when a bag exceeds the bucket: 'error' (default — the
+        # reference never drops patches), 'warn', or 'truncate'
+        self.overflow = overflow
+        self.truncated_bags = 0
+        self.truncated_patches = 0
         self._epoch = 0
+
+    def _count_overflow(self, n: int, target_n: int) -> None:
+        if n > target_n:
+            _handle_overflow(n, target_n, self.overflow)
+            self.truncated_bags += 1
+            self.truncated_patches += n - target_n
 
     def __len__(self):
         n = len(self.dataset)
@@ -105,7 +140,8 @@ class BagBatcher:
         valid = np.zeros(B, np.bool_)
         cluster = np.zeros((B, target_n), np.int32) if has_cluster else None
         for j, (f, it) in enumerate(zip(feats_list, items)):
-            feats[j], mask[j] = pad_bag(f, target_n)
+            self._count_overflow(f.shape[0], target_n)
+            feats[j], mask[j] = pad_bag(f, target_n, overflow="truncate")
             if has_cluster:
                 cid = np.asarray(it[1][1], np.int32)
                 n = min(len(cid), target_n)
@@ -144,10 +180,8 @@ class BagBatcher:
             from .native_loader import assemble_batch, native_available, read_npy_info
             if not native_available():
                 return None
-            if self.fixed_bucket is not None:
-                target_n = self.fixed_bucket
-                dim = read_npy_info(groups[0][0])[1]
-            else:
+            sizes = None
+            if self.fixed_bucket is None or self.overflow != "truncate":
                 sizes, dim = [], None
                 for g in groups:
                     n = 0
@@ -156,7 +190,14 @@ class BagBatcher:
                         n += r
                         dim = c
                     sizes.append(n)
+            if self.fixed_bucket is not None:
+                target_n = self.fixed_bucket
+                dim = read_npy_info(groups[0][0])[1]
+            else:
                 target_n = bucket_length(max(sizes), self.min_bucket, self.max_bucket)
+            if sizes is not None:
+                for n in sizes:
+                    self._count_overflow(n, target_n)
             B = self.batch_size
             feats_n, mask_n, lens = assemble_batch(groups, target_n, dim)
             feats = np.zeros((B, target_n, dim), np.float32)
@@ -174,6 +215,8 @@ class BagBatcher:
                 valid[j] = True
             return {"feats": feats, "mask": mask, "t": t, "e": e,
                     "idx": idx, "valid": valid}
+        except BagOverflowError:
+            raise
         except Exception as exc:
             print(f"[BagBatcher] native path failed ({exc}); using numpy")
             return None

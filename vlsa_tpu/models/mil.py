@@ -87,6 +87,14 @@ class VLFAN(nn.Module):
     query_pooling: str = "mean"
     pred_head: str = "default"
     coattn_logit_scale_init: float = float(np.log(100.0))
+    # sequence-parallel routing: when `sp_mesh` is set, the co-attention pool
+    # runs through parallel.coattn_pool_sp — patches sharded over `sp_axis`,
+    # bags over `dp_axis`, partial-softmax combined with one psum over ICI
+    # (SURVEY.md §5 long-context row).  Set by the runner when the config
+    # mesh enables seq_parallel.
+    sp_mesh: Any = None
+    sp_axis: str = "model"
+    dp_axis: Optional[str] = "data"
 
     def setup(self):
         if self.use_feat_proj:
@@ -158,10 +166,16 @@ class VLFAN(nn.Module):
             X = self.feat_proj(X)
         q_eff = self.effective_query(query)
         scale = self.coattn_logit_scale
-        # without a feat projecter nothing learnable feeds X -> declare it
-        # constant so the backward runs the dQ-only kernel (no dX write)
-        out = coattn_pool(q_eff, X, mask, scale,
-                          x_stop_gradient=not self.use_feat_proj)  # [B, P, C]
+        if self.sp_mesh is not None:
+            from ..parallel.coattn_sp import coattn_pool_sp
+            x_in = X if self.use_feat_proj else jax.lax.stop_gradient(X)
+            out = coattn_pool_sp(q_eff, x_in, mask, scale, self.sp_mesh,
+                                 axis=self.sp_axis, batch_axis=self.dp_axis)
+        else:
+            # without a feat projecter nothing learnable feeds X -> declare it
+            # constant so the backward runs the dQ-only kernel (no dX write)
+            out = coattn_pool(q_eff, X, mask, scale,
+                              x_stop_gradient=not self.use_feat_proj)  # [B, P, C]
         pooled, pooled_ext = self.forward_query_pooling(out, train=train)
         feats = self.visual_adapter(pooled) if self.pred_head != "Identity" else pooled
         if ret_with_attn:

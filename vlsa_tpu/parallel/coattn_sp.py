@@ -28,11 +28,16 @@ Array = jax.Array
 
 
 def _local_partials(q, x, mask, scale):
-    """Per-shard partial softmax stats over the local patch slice."""
+    """Per-shard partial softmax stats over the local patch slice.
+
+    The running max `m` cancels analytically in the final combine, so it is
+    stop-gradient'ed: AD then never differentiates through max/pmax and the
+    backward is the exact softmax gradient (standard flash-attention trick).
+    """
     xn = l2_normalize(x, axis=-1)
     logits = scale * jnp.einsum("pc,bnc->bpn", q, xn)
     logits = jnp.where(mask[:, None, :], logits, -1e30)
-    m = jnp.max(logits, axis=-1)                      # [B, P]
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1))  # [B, P]
     p = jnp.exp(logits - m[..., None])
     p = jnp.where(mask[:, None, :], p, 0.0)
     l = jnp.sum(p, axis=-1)                           # [B, P]
@@ -41,14 +46,20 @@ def _local_partials(q, x, mask, scale):
 
 
 def coattn_pool_sp(q: Array, x: Array, mask: Optional[Array], scale,
-                   mesh: Mesh, axis: str = "model") -> Array:
-    """Sequence-parallel pooling: x [B, N, C] with N sharded over `axis`."""
+                   mesh: Mesh, axis: str = "model",
+                   batch_axis: Optional[str] = None) -> Array:
+    """Sequence-parallel pooling: x [B, N, C] with N sharded over `axis`.
+
+    `batch_axis` optionally shards B over a data-parallel mesh axis at the
+    same time (the production layout: bags over `data`, patches over
+    `model`); the softmax combine stays a single psum over `axis`.
+    """
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
 
     def shard_fn(q, x, mask):
         m, l, pv = _local_partials(q, x, mask, scale)
-        m_g = jax.lax.pmax(m, axis)
+        m_g = jax.lax.pmax(m, axis)          # m is already stop-gradient'ed
         corr = jnp.exp(m - m_g)
         l_g = jax.lax.psum(l * corr, axis)
         pv_g = jax.lax.psum(pv * corr[..., None], axis)
@@ -56,7 +67,7 @@ def coattn_pool_sp(q: Array, x: Array, mask: Optional[Array], scale,
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P(None, axis)),
-        out_specs=P(),
+        in_specs=(P(), P(batch_axis, axis, None), P(batch_axis, axis)),
+        out_specs=P(batch_axis, None, None),
     )
     return fn(q, x, mask)

@@ -27,16 +27,28 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = np.array(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh data={n_data} x model={n_model} needs {n_data * n_model} "
+            f"devices but only {len(devices)} are visible "
+            f"({devices[0].platform}). On a CPU host set `jax_platforms: cpu` "
+            f"+ `jax_num_cpu_devices: {n_data * n_model}` in the config (or "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N).")
     devices = devices[: n_data * n_model].reshape(n_data, n_model)
     return Mesh(devices, ("data", "model"))
 
 
 def batch_pspec(seq_parallel: bool = False) -> dict:
-    """PartitionSpecs for a padded bag batch dict."""
+    """PartitionSpecs for a padded bag batch dict (every key the runners
+    produce; `shard_batch` falls back to P('data') for unknown keys)."""
     n_axis = "model" if seq_parallel else None
     return {
         "feats": P("data", n_axis, None),
         "mask": P("data", n_axis),
+        "cluster_id": P("data", n_axis),
+        # graph edge lists index into the *global* patch axis: replicate E
+        "edge_index": P("data", None, None),
+        "edge_valid": P("data", None),
         "t": P("data"),
         "e": P("data"),
         "idx": P("data"),

@@ -185,22 +185,46 @@ class BaseHandler:
         objective = make_objective(self.loss, self.loss_weight,
                                    make_output_converter(cfg.get("net_output_converter")),
                                    uses_vl=self.uses_vl)
-        mesh = None
+        mesh, tp, sp = None, False, False
         if cfg.get("mesh"):
             from ..parallel import make_mesh
             m = cfg["mesh"]
             mesh = make_mesh(n_data=m.get("data"), n_model=m.get("model", 1))
-            print(f"[setup] mesh: data={mesh.shape['data']} "
-                  f"model={mesh.shape['model']}")
+            n_model = mesh.shape["model"]
+            # model-axis sharding defaults on whenever the axis exists:
+            # tensor parallel for the text-tower MLP, sequence parallel for
+            # the patch axis (VLFAN partial-softmax combine)
+            tp = bool(m.get("tensor_parallel", n_model > 1))
+            sp = bool(m.get("seq_parallel", n_model > 1)) and n_model > 1
+            print(f"[setup] mesh: data={mesh.shape['data']} model={n_model} "
+                  f"(tensor_parallel={tp}, seq_parallel={sp})")
+            if sp:
+                self.model = self._route_seq_parallel(self.model, mesh)
         engine = TrainEngine(self.model, self.tx, objective, uses_vl=self.uses_vl,
                              has_query_div="QueryDiv" in self.loss,
                              accum_steps=cfg.get("accum_steps", 1), mesh=mesh,
-                             frozen=getattr(self, "frozen_mask", None))
+                             frozen=getattr(self, "frozen_mask", None),
+                             tensor_parallel=tp, seq_parallel=sp)
         if mesh is not None:
-            # replicate params/opt-state across the mesh once
-            self.params = engine.replicate(self.params)
-            self.opt_state = engine.replicate(self.opt_state)
+            # place params on the mesh (TP layout for the text-tower MLP) and
+            # rebuild the optimizer state so moments inherit those shardings
+            self.params = engine.shard_params(self.params)
+            self.opt_state = engine.init_opt_state(self.params)
         return engine
+
+    @staticmethod
+    def _route_seq_parallel(model, mesh):
+        """Bind the mesh into the VLFAN co-attention so it runs the explicit
+        sequence-parallel shard_map path (parallel.coattn_sp)."""
+        from ..models.mil import VLFAN
+        if isinstance(model, VLFAN):
+            return model.clone(sp_mesh=mesh)
+        mil = getattr(model, "mil_encoder", None)
+        if isinstance(mil, VLFAN):
+            return model.clone(mil_encoder=mil.clone(sp_mesh=mesh))
+        print("[setup] seq_parallel: model has no VLFAN co-attention; "
+              "patch-axis sharding is left to XLA's SPMD partitioner")
+        return model
 
     uses_vl = False
 
@@ -211,9 +235,11 @@ class BaseHandler:
         raise NotImplementedError
 
     def get_logit_scale_value(self):
-        if "logit_scale" in self.params:
-            return float(np.exp(np.asarray(self.params["logit_scale"])))
-        return 10.0
+        assert "logit_scale" in self.params, (
+            "logit-scale-aware losses/evaluators need a model with a "
+            "`logit_scale` param (VL models have one, ref model/vlsa.py:49); "
+            "remove SurvEMD/SurvT2I ext-loss evaluation for this model.")
+        return float(np.exp(np.asarray(self.params["logit_scale"])))
 
     # ------------------------------------------------------------------ exec
     def _make_batcher(self, dataset, cfg, shuffle):
@@ -226,6 +252,7 @@ class BaseHandler:
             fixed_bucket=cfg.get("fixed_bucket"),
             feats_dtype=cfg.get("feats_dtype", "float32"),
             prefetch=cfg.get("prefetch", 2),
+            overflow=cfg.get("bag_overflow", "error"),
         )
 
     def exec(self):

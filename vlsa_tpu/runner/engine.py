@@ -6,8 +6,11 @@ padded mini-batch of bags (the reference's bp_every_batch accumulation
 becomes a single batched forward — identical loss, one optimizer step),
 computes every configured loss in-graph, and applies the optax update.
 
-When a `jax.sharding.Mesh` is given, bags shard over the `data` axis and
-params/opt-state replicate; XLA inserts the gradient all-reduce over ICI.
+When a `jax.sharding.Mesh` is given, bags shard over the `data` axis (XLA
+inserts the gradient all-reduce over ICI).  With `tensor_parallel` the text
+tower's MLP hidden dim additionally shards over `model` (parallel.sharding
+layouts), and with `seq_parallel` the patch axis N shards over `model` (the
+VLFAN co-attention then runs the partial-softmax shard_map path).
 """
 from __future__ import annotations
 
@@ -15,9 +18,10 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel import batch_pspec, make_mesh, param_shardings  # noqa: F401
 
 
 def make_output_converter(name: Optional[str]) -> Callable:
@@ -58,13 +62,16 @@ class TrainEngine:
     def __init__(self, model, tx, objective, uses_vl: bool,
                  has_query_div: bool = False, mesh: Optional[Mesh] = None,
                  donate: bool = True, accum_steps: int = 1,
-                 frozen: Optional[dict] = None):
+                 frozen: Optional[dict] = None,
+                 tensor_parallel: bool = False, seq_parallel: bool = False):
         self.model = model
         self.tx = tx
         self.objective = objective
         self.uses_vl = uses_vl
         self.has_query_div = has_query_div
         self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
+        self.seq_parallel = seq_parallel
         # pytree of bools marking frozen subtrees: their leaves are
         # stop-gradient'd inside the loss so AD never runs the (potentially
         # huge) backward through them — mirroring torch requires_grad=False
@@ -81,14 +88,32 @@ class TrainEngine:
     def shard_batch(self, batch: dict) -> dict:
         if self.mesh is None:
             return batch
-        sharding = NamedSharding(self.mesh, P("data"))
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        specs = batch_pspec(self.seq_parallel)
+        return {k: jax.device_put(v, NamedSharding(self.mesh, specs.get(k, P("data"))))
+                for k, v in batch.items()}
 
     def replicate(self, tree):
         if self.mesh is None:
             return tree
         sharding = NamedSharding(self.mesh, P())
         return jax.device_put(tree, sharding)
+
+    def shard_params(self, params):
+        """Place params on the mesh: replicated, except the text-tower MLP
+        when tensor_parallel (parallel.sharding.param_shardings layout)."""
+        if self.mesh is None:
+            return params
+        shardings = param_shardings(params, self.mesh,
+                                    tensor_parallel=self.tensor_parallel)
+        return jax.tree.map(jax.device_put, params, shardings)
+
+    def init_opt_state(self, params):
+        """(Re)build the optimizer state from already-placed params under jit
+        so moment tensors inherit each param's sharding (TP moments shard
+        with their TP params instead of replicating)."""
+        if self.mesh is None:
+            return self.tx.init(params)
+        return jax.jit(self.tx.init)(params)
 
     # --- steps ---
     def train_step(self):
@@ -174,12 +199,3 @@ class TrainEngine:
 
         self._eval_step = step
         return step
-
-
-def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
-    """Data(+model) mesh over available devices."""
-    devices = np.array(jax.devices())
-    if n_data is None:
-        n_data = len(devices) // n_model
-    devices = devices[: n_data * n_model].reshape(n_data, n_model)
-    return Mesh(devices, ("data", "model"))
