@@ -31,9 +31,11 @@ def main():
     from vlsa_tpu.models.vlsa_build import build_vlsa
     from vlsa_tpu.interpret import calc_text_img_similarity
     from vlsa_tpu.interpret.visualization import (
+        plot_attention_heatmap,
         plot_incidence_survival,
         plot_ordinality_heatmap,
         plot_shap_bars,
+        plot_wsi_heatmap,
     )
     from vlsa_tpu.data.io import load_init_text, read_patch_data
 
@@ -93,6 +95,21 @@ def main():
     _, span_acc = plot_ordinality_heatmap(
         rank_embeds, save_path=os.path.join(args.out, "ordinality.png"))
     print(f"[walkthrough] rank-embedding span accuracy: {span_acc:.3f}")
+
+    # spatial maps (ref utils/visualization.py:181-241, 311-359): patch
+    # coordinates come from the slide's coord file in production
+    # (data.io.read_patch_coord); synthetic bags get a square grid
+    N = X.shape[0]
+    side = int(np.ceil(np.sqrt(N)))
+    grid = np.stack(np.meshgrid(np.arange(side), np.arange(side)), -1).reshape(-1, 2)
+    coords = grid[:N] * 256
+    A = out["coattn_score"]                       # [P, N]
+    labels = np.argmax(A, axis=0)                 # per-patch dominant prior
+    plot_wsi_heatmap(coords, labels, patch_size=256, downsample=32,
+                     save_path=os.path.join(args.out, "wsi_heatmap.png"))
+    plot_attention_heatmap(A, coords, patch_size=256, downsample=32,
+                           prior_names=[f"prior {i}" for i in range(A.shape[0])],
+                           save_path=os.path.join(args.out, "attention_heatmaps.png"))
     print(f"[walkthrough] plots written to {args.out}/")
 
 
