@@ -86,3 +86,65 @@ def test_import_bundled_blca_checkpoint():
     assert probs.shape == (1, 12)
     np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-5)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_tower_import_from_released_checkpoint(tmp_path):
+    """import_text_tower_from_checkpoint maps a released CoCa-format state
+    dict (text.* keys, ref model/conch/coca_model.py:150-245) onto our
+    TextTower tree, and the VLSA runner hook consumes it via
+    path_clip_model (runner/vlsa.py func_load_model)."""
+    import torch
+    import jax
+
+    W, H, L, CTX, VOCAB, OUT = 32, 4, 2, 128, 32007, 64
+    g = torch.Generator().manual_seed(0)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.02
+    state = {
+        "text.token_embedding.weight": r(VOCAB, W),
+        "text.positional_embedding": r(CTX, W),
+        "text.text_projection": r(W, OUT),
+        "text.ln_final.weight": torch.ones(W),
+        "text.ln_final.bias": torch.zeros(W),
+        "text.cls_emb": r(W),
+        "logit_scale": torch.tensor(4.0),
+    }
+    for i in range(L):
+        rb = f"text.transformer.resblocks.{i}."
+        state.update({
+            rb + "ln_1.weight": torch.ones(W), rb + "ln_1.bias": torch.zeros(W),
+            rb + "ln_2.weight": torch.ones(W), rb + "ln_2.bias": torch.zeros(W),
+            rb + "attn.in_proj_weight": r(3 * W, W),
+            rb + "attn.in_proj_bias": torch.zeros(3 * W),
+            rb + "attn.out_proj.weight": r(W, W),
+            rb + "attn.out_proj.bias": torch.zeros(W),
+            rb + "mlp.c_fc.weight": r(4 * W, W),
+            rb + "mlp.c_fc.bias": torch.zeros(4 * W),
+            rb + "mlp.c_proj.weight": r(W, 4 * W),
+            rb + "mlp.c_proj.bias": torch.zeros(W),
+        })
+    ckpt = tmp_path / "pytorch_model.bin"
+    torch.save(state, str(ckpt))
+
+    from vlsa_tpu.utils.torch_import import import_text_tower_from_checkpoint
+    vl = import_text_tower_from_checkpoint(str(ckpt), api="CONCH")
+    assert vl["logit_scale"] == pytest.approx(4.0)
+    tp = vl["text_params"]
+    assert tp["resblock_1"]["c_fc_weight"].shape == (4 * W, W)
+    np.testing.assert_array_equal(
+        tp["token_embedding"], state["text.token_embedding.weight"].numpy())
+
+    # runner hook: path_clip_model -> tower weights land in params
+    from test_runner_e2e import make_cohort, vlsa_cfg
+    from vlsa_tpu.runner import VLSAHandler
+    table, split = make_cohort(tmp_path, n_patients=12)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({"path_clip_model": str(tmp_path),
+                "_test_tower_overrides": {"width": W, "heads": H, "layers": L,
+                                          "output_dim": OUT},
+                "vlsa_img_encoder_dim_in": OUT,
+                "path_patch": f"synthetic://N=96,D={OUT},seed=3"})
+    handler = VLSAHandler(cfg)
+    got = np.asarray(dict(handler.params)["prompt_encoder"]["token_embedding"])
+    np.testing.assert_array_equal(got, state["text.token_embedding.weight"].numpy())
+    np.testing.assert_allclose(
+        float(np.asarray(dict(handler.params)["logit_scale"])), 4.0, atol=1e-6)

@@ -58,6 +58,26 @@ class VLSAHandler(BaseHandler):
             pretrained_cfg["ckpt"] = pretrained_cfg["ckpt"].format(
                 cfg["data_split_seed"], pretrained_cfg.get("method"))
 
+        # real frozen-tower weights: `path_clip_model` may point at the
+        # released checkpoint file itself, or a dir containing
+        # <txt_encoder_name>/pytorch_model.bin (ref model/conch/factory.py
+        # loads the same artifact); absent -> random init (architecture-
+        # faithful; the weights are not redistributable with this repo)
+        vl_weights = None
+        root = cfg.get("path_clip_model")
+        if root:
+            import os.path as _osp
+            txt_name = cfg.get(f"{arch.lower()}_txt_encoder_name", "")
+            candidates = [root,
+                          _osp.join(root, "pytorch_model.bin"),
+                          _osp.join(root, txt_name, "pytorch_model.bin")]
+            ckpt_path = next((c for c in candidates if _osp.isfile(c)), None)
+            if ckpt_path is not None:
+                from ..utils.torch_import import import_text_tower_from_checkpoint
+                vl_weights = import_text_tower_from_checkpoint(
+                    ckpt_path, api=cfg[f"{arch.lower()}_api"])
+                print(f"[setup] frozen text-tower weights imported from {ckpt_path}")
+
         arch_cfg = {
             "vlsa_api": cfg[f"{arch.lower()}_api"],
             "text_encoder_cfg": fetch_kws(cfg, prefix=f"{arch.lower()}_txt_encoder"),
@@ -65,6 +85,7 @@ class VLSAHandler(BaseHandler):
             "prompt_learner_cfg": prompt_learner_cfg,
             "pretrained_prompt_learner_cfg": pretrained_cfg,
             "path_clip_model": cfg.get("path_clip_model"),
+            "vl_weights": vl_weights,
             "tower_overrides": cfg.get("_test_tower_overrides"),
         }
         module, params, tokenizer = load_model(arch, rng=self.rng, **arch_cfg)

@@ -178,3 +178,25 @@ def import_deepmil_state(state: Dict[str, np.ndarray]) -> dict:
         else:
             print(f"[torch_import] warning: unmapped DeepMIL key {k}")
     return params
+
+
+def import_text_tower_from_checkpoint(path: str, api: str = "CONCH") -> dict:
+    """Load the frozen VL text tower from a released checkpoint file
+    (e.g. mahmoodlab/conch `pytorch_model.bin`, a CoCa state dict whose text
+    tower lives under `text.*` — ref model/conch/coca_model.py:150-245; CLIP
+    checkpoints keep text keys at the top level).  Returns the `vl_weights`
+    dict accepted by models.vlsa_build.build_vlsa.
+    """
+    state = load_torch_state_dict(path)
+    prefix = ""
+    if any(k.startswith("text.") for k in state):
+        prefix = "text."
+    layer_ids = [int(k.split("resblocks.")[1].split(".")[0])
+                 for k in state if (prefix + "transformer.resblocks.") in k]
+    assert layer_ids, f"no text-transformer blocks found in {path}"
+    layers = max(layer_ids) + 1
+    out = {"text_params": import_text_tower_state(state, layers=layers,
+                                                  prefix=prefix)}
+    if "logit_scale" in state:
+        out["logit_scale"] = float(np.asarray(state["logit_scale"]).reshape(())) 
+    return out
