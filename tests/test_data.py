@@ -136,3 +136,61 @@ def test_bag_overflow_policy():
         pad_bag(np.zeros((10, 4), np.float32), 8)
     f, m = pad_bag(np.zeros((10, 4), np.float32), 8, overflow="truncate")
     assert f.shape == (8, 4) and m.all()
+
+
+def test_graph_pt_conversion(tmp_path):
+    """Reference torch_geometric .pt graphs (ref dataset/PatchWSI.py:231-249)
+    convert to .npz edge lists without torch_geometric installed — both the
+    PatchGCN-era tg1 layout and the tg2 `_store` layout."""
+    import torch
+    from vlsa_tpu.data.convert import (
+        _install_tg_unpickle_stubs, convert_graph_dir)
+
+    _install_tg_unpickle_stubs()
+    import torch_geometric.data.data as tgd
+    import torch_geometric.data.storage as tgs
+
+    src = tmp_path / "graphs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    ei = rng.integers(0, 50, size=(2, 120))
+
+    # tg1 style: attrs directly on the Data object
+    g1 = tgd.Data.__new__(tgd.Data)
+    g1.__dict__.update({
+        "x": torch.zeros(50, 8),
+        "edge_index": torch.tensor(ei),
+        "edge_latent": torch.tensor(ei[:, :40]),
+        "centroid": torch.zeros(50, 2),
+    })
+    torch.save(g1, str(src / "S1-slide.pt"))
+
+    # tg2 style: attrs behind _store._mapping
+    store = tgs.GlobalStorage.__new__(tgs.GlobalStorage)
+    store.__dict__["_mapping"] = {"x": torch.zeros(30, 8),
+                                  "edge_index": torch.tensor(ei[:, :60])}
+    g2 = tgd.Data.__new__(tgd.Data)
+    g2.__dict__["_store"] = store
+    torch.save(g2, str(src / "S2-slide.pt"))
+
+    dst = tmp_path / "npz"
+    n = convert_graph_dir(str(src), str(dst), verbose=False)
+    assert n == 2
+    z1 = np.load(dst / "S1-slide.npz")
+    np.testing.assert_array_equal(z1["edge_index"], ei)
+    assert "edge_latent" in z1
+    z2 = np.load(dst / "S2-slide.npz")
+    np.testing.assert_array_equal(z2["edge_index"], ei[:, :60])
+
+    # converted graphs feed the graph-mode dataset end to end
+    meta, split = _meta()
+    pids = split["train"][:2]
+    # name the graph files after this cohort's slide ids
+    ds_probe = SurvBagDataset(pids, "synthetic://N=64,D=8,seed=1", "patch", meta)
+    sids = [s for p in pids for s in ds_probe.pid2sids[p]]
+    for s in sids:
+        np.savez(dst / f"{s}.npz", edge_index=ei)
+    ds = SurvBagDataset(pids, "synthetic://N=64,D=8,seed=1", "graph", meta,
+                        graph_path=str(dst))
+    _idx, (feats, edge_index), _label = ds[0]
+    assert edge_index.shape[0] == 2 and edge_index.shape[1] >= 120

@@ -174,11 +174,19 @@ def test_sa_deepattnmisl_cluster_mode(tmp_path):
 
 
 def test_sa_patchgcn_graph_mode(tmp_path):
-    """Graph data mode: per-slide .npz adjacency drives PatchGCN
+    """Graph data mode end to end FROM reference-format artifacts: per-slide
+    torch_geometric .pt graphs (ref dataset/PatchWSI.py:231-249) are converted
+    by data/convert.py into the .npz store that drives PatchGCN
     (ref sa_handler.py:194-196 graph dispatch)."""
+    import torch
+    from vlsa_tpu.data.convert import (
+        _install_tg_unpickle_stubs, convert_graph_dir)
+
     table, split = make_cohort(tmp_path, n_patients=16)
-    graph_dir = tmp_path / "graphs"
-    os.makedirs(graph_dir)
+    pt_dir = tmp_path / "graphs_pt"
+    os.makedirs(pt_dir)
+    _install_tg_unpickle_stubs()
+    import torch_geometric.data.data as tgd
     from vlsa_tpu.data.io import synthetic_bag
     import pandas as pd
     df = pd.read_csv(table)
@@ -187,8 +195,12 @@ def test_sa_patchgcn_graph_mode(tmp_path):
         n = bag.shape[0]
         src = np.concatenate([np.arange(n - 1), np.arange(1, n)])
         dst = np.concatenate([np.arange(1, n), np.arange(n - 1)])
-        np.savez(graph_dir / f"{row['pathology_id']}.npz",
-                 edge_index=np.stack([src, dst]))
+        g = tgd.Data.__new__(tgd.Data)
+        g.__dict__.update({"x": torch.tensor(bag),
+                           "edge_index": torch.tensor(np.stack([src, dst]))})
+        torch.save(g, str(pt_dir / f"{row['pathology_id']}.pt"))
+    graph_dir = tmp_path / "graphs"
+    assert convert_graph_dir(str(pt_dir), str(graph_dir), verbose=False) == 16
     cfg = base_cfg(tmp_path, table, split)
     cfg.update({
         "data_mode": "graph",
