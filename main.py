@@ -67,6 +67,10 @@ def apply_platform_config(config):
         if config.get("jax_num_cpu_devices"):
             jax.config.update("jax_num_cpu_devices",
                               int(config["jax_num_cpu_devices"]))
+    # multi-host bring-up (must precede any device use): `distributed: auto`
+    # or an explicit {coordinator_address, num_processes, process_id} dict
+    from vlsa_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(config)
 
 
 if __name__ == "__main__":

@@ -173,3 +173,59 @@ def test_flagship_tp_sp_gradients_match():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_batcher_process_sharding():
+    """Multi-host loading groundwork: per-host shards of every global batch
+    are disjoint, contiguous, and reassemble to the unsharded batch."""
+    from test_runner_e2e import make_cohort
+    import tempfile, pathlib
+    from vlsa_tpu.data import BagBatcher, MetaSurvData, SurvBagDataset, \
+        read_file_data_splitting
+
+    with tempfile.TemporaryDirectory() as td:
+        table, split = make_cohort(pathlib.Path(td), n_patients=20)
+        sp = read_file_data_splitting(split)
+        meta = MetaSurvData(table, data_split=sp, verbose=False)
+        meta.generate_discrete_label(num_bins=4, use_quantiles=False)
+        ds = SurvBagDataset(sp["train"], "synthetic://N=64,D=8,seed=1",
+                            "patch", meta)
+        full = list(BagBatcher(ds, batch_size=4, shuffle=True, seed=3,
+                               fixed_bucket=256))
+        shards = [list(BagBatcher(ds, batch_size=4, shuffle=True, seed=3,
+                                  fixed_bucket=256, num_shards=2,
+                                  shard_index=i)) for i in range(2)]
+        assert len(shards[0]) == len(shards[1]) == len(full)
+        for b_full, b0, b1 in zip(full, *shards):
+            assert b0["feats"].shape[0] == b1["feats"].shape[0] == 2
+            np.testing.assert_array_equal(
+                np.concatenate([b0["idx"], b1["idx"]]), b_full["idx"])
+            np.testing.assert_array_equal(
+                np.concatenate([b0["feats"], b1["feats"]]), b_full["feats"])
+
+
+def test_make_global_batch_single_process():
+    """make_global_batch on one process equals the plain sharded device_put
+    (the multi-host assembly path degenerates correctly)."""
+    from vlsa_tpu.parallel import batch_pspec, make_global_batch
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(0)
+    batch = {"feats": rng.normal(size=(8, 64, 16)).astype(np.float32),
+             "mask": np.ones((8, 64), bool),
+             "t": np.arange(8, dtype=np.float32),
+             "e": np.ones(8, np.float32),
+             "idx": np.arange(8, dtype=np.int32),
+             "valid": np.ones(8, bool)}
+    out = make_global_batch(batch, mesh, seq_parallel=True)
+    specs = batch_pspec(True)
+    for k, v in out.items():
+        assert v.shape == batch[k].shape
+        assert v.sharding.spec == specs[k]
+        np.testing.assert_array_equal(np.asarray(v), batch[k])
+
+
+def test_make_mesh_dcn_fallback():
+    """dcn_data on a single-slice host falls back to a flat data mesh."""
+    mesh = make_mesh(n_data=2, n_model=2, dcn_data=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2

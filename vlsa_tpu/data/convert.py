@@ -51,9 +51,9 @@ def _install_tg_unpickle_stubs():
     objects without torch_geometric installed.  Covers both the PatchGCN-era
     tg1 layout (attributes directly in __dict__) and tg2 (`_store` holding a
     GlobalStorage with `_mapping`)."""
-    if "torch_geometric" in sys.modules and not getattr(
-            sys.modules["torch_geometric"], "_vlsa_stub", False):
-        return  # real torch_geometric present
+    existing = sys.modules.get("torch_geometric")
+    if existing is not None and getattr(existing, "__file__", None):
+        return  # real torch_geometric installed; stubs (no __file__) augment
 
     def mk(name):
         m = types.ModuleType(name)
@@ -67,6 +67,13 @@ def _install_tg_unpickle_stubs():
         """Generic unpickle target: default object reduce restores __dict__."""
 
     tg = sys.modules.get("torch_geometric") or mk("torch_geometric")
+    # keep the reference-import stubs working whatever the install order
+    # (vlsa_tpu.utils.ref_stubs also fabricates torch_geometric.nn)
+    nn_mod = sys.modules.get("torch_geometric.nn") or mk("torch_geometric.nn")
+    for cls_name in ("GENConv", "DeepGCNLayer"):
+        if not hasattr(nn_mod, cls_name):
+            setattr(nn_mod, cls_name, type(cls_name, (), {}))
+    tg.nn = nn_mod
     data_pkg = sys.modules.get("torch_geometric.data") or mk("torch_geometric.data")
     data_mod = sys.modules.get("torch_geometric.data.data") or mk("torch_geometric.data.data")
     storage_mod = sys.modules.get("torch_geometric.data.storage") or mk(

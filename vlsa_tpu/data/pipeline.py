@@ -73,7 +73,8 @@ class BagBatcher:
                  seed: int = 0, min_bucket: int = 256,
                  max_bucket: Optional[int] = None, drop_last: bool = False,
                  prefetch: int = 2, fixed_bucket: Optional[int] = None,
-                 feats_dtype: str = "float32", overflow: str = "error"):
+                 feats_dtype: str = "float32", overflow: str = "error",
+                 num_shards: int = 1, shard_index: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -92,6 +93,20 @@ class BagBatcher:
         self.overflow = overflow
         self.truncated_bags = 0
         self.truncated_patches = 0
+        # multi-host data loading: this process materialises only its
+        # contiguous 1/num_shards slice of every global batch (the global
+        # order stays identical across hosts — same seed, same permutation);
+        # parallel.multihost.make_global_batch assembles the jax.Arrays
+        assert batch_size % num_shards == 0, \
+            f"batch_size {batch_size} not divisible by num_shards {num_shards}"
+        if num_shards > 1:
+            # hosts never exchange bag sizes, so dynamic bucketing would
+            # produce divergent global shapes -> require one fixed bucket
+            assert fixed_bucket is not None, \
+                "multi-host loading (num_shards > 1) requires fixed_bucket"
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self._local_bs = batch_size // num_shards
         self._epoch = 0
 
     def _count_overflow(self, n: int, target_n: int) -> None:
@@ -114,6 +129,17 @@ class BagBatcher:
         return np.arange(n)
 
     def _make_batch(self, indices: np.ndarray) -> dict:
+        if len(indices) == 0:
+            # this host's slice of a short tail batch: all-padding rows so
+            # every process still joins the step's collectives
+            n = self.fixed_bucket or self.min_bucket
+            d = self.dataset[0][1][0].shape[1]
+            return {"feats": np.zeros((self._local_bs, n, d), np.float32),
+                    "mask": np.zeros((self._local_bs, n), np.bool_),
+                    "t": np.zeros(self._local_bs, np.float32),
+                    "e": np.zeros(self._local_bs, np.float32),
+                    "idx": np.full(self._local_bs, -1, np.int32),
+                    "valid": np.zeros(self._local_bs, np.bool_)}
         native = self._try_native_batch(indices)
         if native is not None:
             return native
@@ -130,7 +156,7 @@ class BagBatcher:
             target_n = self.fixed_bucket
         else:
             target_n = bucket_length(max_n, self.min_bucket, self.max_bucket)
-        B = self.batch_size
+        B = self._local_bs
         D = feats_list[0].shape[1]
         feats = np.zeros((B, target_n, D), np.float32)
         mask = np.zeros((B, target_n), np.bool_)
@@ -198,7 +224,7 @@ class BagBatcher:
             if sizes is not None:
                 for n in sizes:
                     self._count_overflow(n, target_n)
-            B = self.batch_size
+            B = self._local_bs
             feats_n, mask_n, lens = assemble_batch(groups, target_n, dim)
             feats = np.zeros((B, target_n, dim), np.float32)
             mask = np.zeros((B, target_n), np.bool_)
@@ -228,6 +254,11 @@ class BagBatcher:
             chunk = order[start:start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 return
+            if self.num_shards > 1:
+                # contiguous per-host slice of the GLOBAL batch; identical
+                # order on every host (shared seed) keeps shards disjoint
+                lo = self.shard_index * self._local_bs
+                chunk = chunk[lo:lo + self._local_bs]
             yield chunk
 
     def __iter__(self) -> Iterator[dict]:

@@ -4,3 +4,8 @@ from .sharding import (  # noqa: F401
     param_shardings,
     shard_params,
 )
+from .multihost import (  # noqa: F401
+    make_global_batch,
+    maybe_initialize_distributed,
+    process_shard_info,
+)

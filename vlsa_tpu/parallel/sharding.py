@@ -23,7 +23,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices=None) -> Mesh:
+              devices=None, dcn_data: Optional[int] = None) -> Mesh:
+    """Data(+model) mesh.  `dcn_data` > 1 lays the outer data factor across
+    slices/hosts (DCN) with ICI inside each slice — gradient all-reduces then
+    hierarchically reduce within slices before crossing DCN (the standard
+    multi-slice recipe).  Falls back to a flat mesh when only one slice is
+    visible (e.g. the virtual CPU test mesh)."""
+    if dcn_data and dcn_data > 1:
+        from jax.experimental import mesh_utils
+        try:
+            dev = mesh_utils.create_hybrid_device_mesh(
+                (n_data or (len(jax.devices()) // (dcn_data * n_model)), n_model),
+                (dcn_data, 1), devices=devices)
+            dev = dev.reshape(-1, n_model)
+            return Mesh(dev, ("data", "model"))
+        except (ValueError, AssertionError) as exc:
+            print(f"[mesh] hybrid DCN mesh unavailable ({exc}); "
+                  f"using a flat mesh with data={dcn_data}x{n_data}")
+            n_data = (n_data or 1) * dcn_data
     devices = np.array(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model

@@ -189,7 +189,8 @@ class BaseHandler:
         if cfg.get("mesh"):
             from ..parallel import make_mesh
             m = cfg["mesh"]
-            mesh = make_mesh(n_data=m.get("data"), n_model=m.get("model", 1))
+            mesh = make_mesh(n_data=m.get("data"), n_model=m.get("model", 1),
+                             dcn_data=m.get("dcn"))
             n_model = mesh.shape["model"]
             # model-axis sharding defaults on whenever the axis exists:
             # tensor parallel for the text-tower MLP, sequence parallel for
@@ -243,8 +244,14 @@ class BaseHandler:
 
     # ------------------------------------------------------------------ exec
     def _make_batcher(self, dataset, cfg, shuffle):
+        num_shards, shard_index = 1, 0
+        if jax.process_count() > 1:
+            # each host loads only its slice of every global batch
+            num_shards, shard_index = jax.process_count(), jax.process_index()
         return BagBatcher(
-            dataset, batch_size=cfg.get("bp_every_batch", 32) if shuffle
+            dataset,
+            num_shards=num_shards, shard_index=shard_index,
+            batch_size=cfg.get("bp_every_batch", 32) if shuffle
             else cfg.get("eval_batch_size", cfg.get("bp_every_batch", 32)),
             shuffle=shuffle, seed=cfg["seed"],
             min_bucket=cfg.get("min_bucket", 256),

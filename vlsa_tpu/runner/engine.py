@@ -88,6 +88,11 @@ class TrainEngine:
     def shard_batch(self, batch: dict) -> dict:
         if self.mesh is None:
             return batch
+        if jax.process_count() > 1 or getattr(self, "force_global_assembly", False):
+            # multi-host: `batch` holds only this process's bags; assemble
+            # the global arrays without cross-host transfers
+            from ..parallel.multihost import make_global_batch
+            return make_global_batch(batch, self.mesh, self.seq_parallel)
         specs = batch_pspec(self.seq_parallel)
         return {k: jax.device_put(v, NamedSharding(self.mesh, specs.get(k, P("data"))))
                 for k, v in batch.items()}
