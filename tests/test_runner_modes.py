@@ -300,3 +300,29 @@ def test_load_vlsa_from_run(tmp_path):
     logits2, _, _ = h.model.apply({"params": h.params}, jnp.asarray(X), mask)
     np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_vlsa_hf_api(tmp_path):
+    """VLSA with the HF-CLIP api end to end (VERDICT r1 weak#6 /
+    ROADMAP item 5): hf_export materialises an offline AutoTokenizer dir
+    from the bundled BPE assets, and the HF tower trains through the full
+    runner (ref model/utils_vl.py:30-36 HF path)."""
+    from vlsa_tpu.models.hf_export import export_hf_clip_tokenizer
+
+    tok_dir = export_hf_clip_tokenizer(str(tmp_path / "hf_tok"))
+    table, split = make_cohort(tmp_path, n_patients=20)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({
+        "save_path": str(tmp_path / "result-hf"),
+        "vlsa_api": "HF",
+        "vlsa_txt_encoder_name": "",
+        "path_clip_model": tok_dir,
+        "_test_tower_overrides": {"width": 32, "heads": 4, "layers": 2,
+                                  "output_dim": 64, "context_length": 64},
+        "epochs": 1,
+    })
+    handler = VLSAHandler(cfg)
+    metrics = handler.exec()
+    vals = dict(metrics["test"])
+    assert 0.0 <= vals["pred_c_index"] <= 1.0
+    assert np.isfinite(vals["pred_loss"])
