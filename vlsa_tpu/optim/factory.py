@@ -79,6 +79,24 @@ def _base_tx(opt_name: str, lr: float, weight_decay: float, params, **kws):
             optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
             optax.rmsprop(lr, decay=0.9, eps=eps, momentum=momentum),
         )
+    if opt_name == "adamp":
+        from .extra import adamp
+        return adamp(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd,
+                     delta=kws.get("delta", 0.1),
+                     wd_ratio=kws.get("wd_ratio", 0.1), mask=mask)
+    if opt_name == "sgdp":
+        from .extra import sgdp
+        return sgdp(lr, momentum=momentum, eps=eps, weight_decay=wd,
+                    delta=kws.get("delta", 0.1),
+                    wd_ratio=kws.get("wd_ratio", 0.1), mask=mask)
+    if opt_name == "adahessian":
+        from .extra import scale_by_adahessian
+        return optax.with_extra_args_support(optax.chain(
+            optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+            scale_by_adahessian(b1=betas[0], b2=betas[1], eps=eps,
+                                hessian_power=kws.get("hessian_power", 1.0)),
+            optax.scale(-lr),
+        ))
     raise ValueError(f"Invalid optimizer: {opt_name}")
 
 
@@ -89,12 +107,28 @@ def create_optimizer(opt_name: str, lr: float, weight_decay: float, params,
     Wrapped in inject_hyperparams so the host-side ReduceLROnPlateau can
     rescale the learning rate inside the compiled step.
     """
+    opt_name_l = opt_name.lower()
+    parts = opt_name_l.split("_")
+    use_lookahead = len(parts) > 1 and parts[0] == "lookahead"
+    base_name = "_".join(parts[1:]) if use_lookahead else opt_name_l
+
     def make(learning_rate):
-        tx = _base_tx(opt_name, learning_rate, weight_decay, params, **kws)
+        tx = _base_tx(base_name, learning_rate, weight_decay, params, **kws)
+        if use_lookahead:
+            # timm-style 'lookahead_<opt>' names (ref optim_factory.py:117-129)
+            from .extra import lookahead
+            tx = lookahead(tx, k=kws.get("lookahead_k", 6),
+                           alpha=kws.get("lookahead_alpha", 0.5))
         if frozen is not None:
-            labels = jax.tree.map(lambda f: "frozen" if f else "train", frozen)
-            tx = optax.multi_transform(
-                {"train": tx, "frozen": optax.set_to_zero()}, labels)
+            if base_name == "adahessian":
+                # multi_transform can't route the hessian_diag extra arg;
+                # zero the frozen leaves after the fact instead
+                tx = optax.with_extra_args_support(optax.chain(
+                    tx, optax.masked(optax.set_to_zero(), frozen)))
+            else:
+                labels = jax.tree.map(lambda f: "frozen" if f else "train", frozen)
+                tx = optax.multi_transform(
+                    {"train": tx, "frozen": optax.set_to_zero()}, labels)
         return tx
 
     return optax.inject_hyperparams(lambda learning_rate: make(learning_rate))(

@@ -205,7 +205,8 @@ class BaseHandler:
                              has_query_div="QueryDiv" in self.loss,
                              accum_steps=cfg.get("accum_steps", 1), mesh=mesh,
                              frozen=getattr(self, "frozen_mask", None),
-                             tensor_parallel=tp, seq_parallel=sp)
+                             tensor_parallel=tp, seq_parallel=sp,
+                             needs_hessian=cfg["opt_name"].lower() == "adahessian")
         if mesh is not None:
             # place params on the mesh (TP layout for the text-tower MLP) and
             # rebuild the optimizer state so moments inherit those shardings

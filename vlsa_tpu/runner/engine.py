@@ -63,7 +63,8 @@ class TrainEngine:
                  has_query_div: bool = False, mesh: Optional[Mesh] = None,
                  donate: bool = True, accum_steps: int = 1,
                  frozen: Optional[dict] = None,
-                 tensor_parallel: bool = False, seq_parallel: bool = False):
+                 tensor_parallel: bool = False, seq_parallel: bool = False,
+                 needs_hessian: bool = False):
         self.model = model
         self.tx = tx
         self.objective = objective
@@ -72,6 +73,10 @@ class TrainEngine:
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
         self.seq_parallel = seq_parallel
+        # adahessian: the step also computes a Hutchinson Hessian-diagonal
+        # estimate (forward-over-reverse; use the XLA coattn path —
+        # custom-vjp Pallas kernels have no JVP rule)
+        self.needs_hessian = needs_hessian
         # pytree of bools marking frozen subtrees: their leaves are
         # stop-gradient'd inside the loss so AD never runs the (potentially
         # huge) backward through them — mirroring torch requires_grad=False
@@ -151,7 +156,22 @@ class TrainEngine:
                              logit_scale=ls, query_div_fn=qd)
             return loss, raw
 
-        if accum <= 1:
+        if self.needs_hessian:
+            assert accum <= 1, "adahessian + accum_steps unsupported"
+            from ..optim.extra import hutchinson_hessian_diag
+
+            @jax.jit
+            def step(params, opt_state, batch, rng):
+                (loss, raw), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch, rng)
+                hd = hutchinson_hessian_diag(
+                    lambda p: loss_fn(p, batch, rng)[0], params,
+                    jax.random.fold_in(rng, 7))
+                updates, new_opt_state = tx.update(grads, opt_state, params,
+                                                   hessian_diag=hd)
+                new_params = optax.apply_updates(params, updates)
+                return new_params, new_opt_state, loss, raw
+        elif accum <= 1:
             @jax.jit
             def step(params, opt_state, batch, rng):
                 (loss, raw), grads = jax.value_and_grad(
