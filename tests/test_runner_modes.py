@@ -326,3 +326,30 @@ def test_vlsa_hf_api(tmp_path):
     vals = dict(metrics["test"])
     assert 0.0 <= vals["pred_c_index"] <= 1.0
     assert np.isfinite(vals["pred_loss"])
+
+
+def test_auto_resume_restart(tmp_path):
+    """Elastic restart idempotence (SURVEY.md §5): a re-launched run with
+    auto_resume picks up from the last per-epoch checkpoint instead of
+    starting over."""
+    import jax
+    table, split = make_cohort(tmp_path, n_patients=16)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({"auto_resume": True, "epochs": 1, "bp_every_batch": 8})
+    h1 = SAHandler(dict(cfg))
+    h1.exec()
+    p_after_1 = jax.tree.map(np.asarray, h1.params)
+
+    # "restart" with a higher epoch budget: must resume at epoch 1, not 0
+    cfg2 = dict(cfg, epochs=3)
+    h2 = SAHandler(cfg2)
+    h2.exec()
+    # resumed params at epoch 1 equal the first run's output, then training
+    # continued (params changed by epochs 2-3)
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p_after_1), jax.tree.leaves(h2.params)))
+    assert changed
+    from vlsa_tpu.runner.ckpt import load_checkpoint
+    ck = load_checkpoint(os.path.join(cfg["save_path"], "train_model-last.ckpt"))
+    assert ck["epoch"] == 3

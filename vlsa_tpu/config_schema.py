@@ -38,7 +38,7 @@ KNOWN_PREFIXES = ("vlsa_", "deepmil_", "loss_", "opt_", "es_", "lrs_", "path_",
                   "test_", "wandb_", "net_", "data_", "time_", "num_", "seed_",
                   "eval_", "ckpt_", "model_", "monitor_", "save_", "feat_",
                   "min_", "max_", "fixed_", "feats_", "accum_", "mesh", "bag_",
-                  "distributed", "jax_platforms", "jax_num_",
+                  "distributed", "jax_platforms", "jax_num_", "auto_",
                   "profile_", "debug_", "jax_", "prefetch", "_test_")
 
 

@@ -325,7 +325,16 @@ class BaseHandler:
         train_batcher = self._make_batcher(train_set, cfg, shuffle=True)
         step_fn = self.engine.train_step()
         last_epoch = -1
-        for epoch in range(epochs):
+        start_epoch = 0
+        if cfg.get("auto_resume"):
+            # fault tolerance: restart idempotence (SURVEY.md §5 elastic row;
+            # the reference's resume_model exists but nothing calls it, ref
+            # base_handler.py:684-693) — pick up from the last epoch ckpt
+            resume_path = add_prefix_to_filename(self.last_ckpt_path, run_name)
+            if osp.exists(resume_path):
+                start_epoch = self.resume_model("last", run_name)
+                print(f"[train] auto-resume: continuing from epoch {start_epoch}")
+        for epoch in range(start_epoch, epochs):
             last_epoch = epoch + 1
             t0 = time.time()
             with maybe_profile(cfg.get("profile_dir") if epoch == 1 else None):
@@ -362,6 +371,9 @@ class BaseHandler:
                     self._save_model(epoch + 1, "best", run_name)
                 if es.stop():
                     break
+            if cfg.get("auto_resume") and save_ckpt:
+                # periodic last-ckpt so a mid-run restart loses <= 1 epoch
+                self._save_model(epoch + 1, "last", run_name)
         if save_ckpt:
             self._save_model(last_epoch, "last", run_name)
             print(f"[train] {run_name} last model saved at epoch {last_epoch}")
