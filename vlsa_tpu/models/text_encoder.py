@@ -181,7 +181,8 @@ class TextTower(nn.Module):
 
     def __call__(self, prompts_embedding: Optional[Array] = None,
                  prompts_pseudo_tokens: Optional[Array] = None,
-                 prompts_text: Optional[Array] = None) -> Array:
+                 prompts_text: Optional[Array] = None,
+                 return_tokens: bool = False) -> Array:
         if prompts_text is not None:
             if self.api == "CONCH":
                 assert prompts_text.shape[1] == self.max_num_tokens + 1
@@ -225,12 +226,19 @@ class TextTower(nn.Module):
             x = blk(x, attn_mask)
 
         if self.api == "CONCH":
+            # per-token outputs (caption-decoder input) are PRE-ln_final in
+            # the cls branch (ref model/conch/transformer.py:440-442)
+            tokens = x[:, :-1]
             pooled = self.ln_final(x[:, -1])
         else:
             x = self.ln_final(x)
+            tokens = x
             eot_idx = jnp.argmax(prompts_pseudo_tokens, axis=-1)
             pooled = x[jnp.arange(K), eot_idx]
-        return pooled @ self.text_projection
+        pooled = pooled @ self.text_projection
+        if return_tokens:
+            return pooled, tokens
+        return pooled
 
 
 def generate_pseudo_tokens(token_ids: np.ndarray, api: str, pad_id: int = 0,
