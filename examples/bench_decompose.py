@@ -151,29 +151,37 @@ def main():
         return jax.jit(run)
 
     results = {}
+    def note(k):
+        print(f"[decompose] {k} done", flush=True)
     f_train = scan_train(train_full)
     _ = float(np.asarray(f_train(params, opt_state)))
     results["A_train_full_ms"] = timed(f_train, params, opt_state)
+    note("A_train_full_ms")
 
     f_nt = scan_train(train_notower)
     _ = float(np.asarray(f_nt(params, opt_state)))
     results["B_train_notower_ms"] = timed(f_nt, params, opt_state)
+    note("B_train_notower_ms")
 
     f_inf = scan_chain(infer_full)
     _ = float(np.asarray(f_inf(params)))
     results["C_infer_full_ms"] = timed(f_inf, params)
+    note("C_infer_full_ms")
 
     f_infnt = scan_chain(infer_notower)
     _ = float(np.asarray(f_infnt(params)))
     results["D_infer_notower_ms"] = timed(f_infnt, params)
+    note("D_infer_notower_ms")
 
     f_k = scan_kernel(kernel_fwd)
     _ = float(np.asarray(f_k(params)))
     results["E_kernel_fwd_ms"] = timed(f_k, params)
+    note("E_kernel_fwd_ms")
 
     f_kb = scan_kernel(kernel_fwd_bwd, with_q=True)
     _ = float(np.asarray(f_kb(params)))
     results["F_kernel_fwd_bwd_ms"] = timed(f_kb, params)
+    note("F_kernel_fwd_bwd_ms")
 
     results["tower_train_ms"] = round(
         results["A_train_full_ms"] - results["B_train_notower_ms"], 2)
