@@ -106,21 +106,31 @@ def main():
         return params, opt_state, losses[-1]
 
     def infer_scan(params, feats, mask, n):
-        # the chain must reach the model INPUTS (prompt embeddings), not just
-        # the output — otherwise the whole forward is loop-invariant and XLA
-        # hoists it out of the scan, measuring nothing
+        # the chain must reach EVERY model input that feeds compute — the
+        # prompt embeddings (text tower) AND the query adapter (co-attention
+        # queries).  Perturbing only the prompt embeddings leaves the
+        # co-attention loop-invariant and XLA hoists it out of the scan,
+        # silently measuring the text tower alone.
         def body(chain, _):
             p = dict(params)
             pl_tree = dict(p["prompt_learner"])
             pl_tree["context_embeds"] = (
                 pl_tree["context_embeds"] + chain * 1e-30)
             p["prompt_learner"] = pl_tree
+            if "query_adapter" in p:
+                qa = dict(p["query_adapter"])
+                qa["residual_features"] = qa["residual_features"] + chain * 1e-30
+                p["query_adapter"] = qa
             out = infer_step(p, feats, mask, jnp.float32(0.0))
             return out[0, 0], out
         chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]
 
-    SCAN_N = int(_os.environ.get("VLSA_TPU_BENCH_SCAN_N", "20"))
+    # 100 steps per dispatch: the tunnelled runtime costs ~30 ms per dispatch
+    # (launch + scalar fetch RTT), which at 20 steps inflated every per-step
+    # number by ~1.5 ms.  Device-side truth (trace, docs/PERF.md): train
+    # 4.99 ms / infer 2.58 ms per step inside the scan.
+    SCAN_N = int(_os.environ.get("VLSA_TPU_BENCH_SCAN_N", "100"))
     train_scan_jit = jax.jit(functools.partial(train_scan, n=SCAN_N),
                              donate_argnums=(0, 1))
     infer_scan_jit = jax.jit(functools.partial(infer_scan, n=SCAN_N))

@@ -8,6 +8,9 @@ Measures, with the same honest scanned timing as bench.py:
 
 => tower cost = A - B (train) / C - D (infer); kernel floor = E/F;
    residual = B - F (losses, optimizer, logits head, norms).
+
+All big arrays are jit ARGUMENTS (closure constants would be inlined into
+the program and overflow the remote compile service).
 """
 from __future__ import annotations
 
@@ -58,16 +61,21 @@ def main():
     t = jnp.asarray(rng.integers(0, K, size=B), jnp.int32)
     e = jnp.asarray(rng.integers(0, 2, size=B), jnp.float32)
     key = jax.random.PRNGKey(0)
-
-    # precomputed text features for the tower-less variants
     text_const = jnp.asarray(rng.normal(size=(K, D)).astype(np.float32))
+    q_const = jnp.asarray(rng.normal(size=(12, D)).astype(np.float32))
 
     def loss_from_logits(p, logits):
         probs = jax.nn.softmax(logits, axis=-1)
         ls = jnp.exp(p["logit_scale"])
         return surv_ifmle(probs, t, e) + surv_emd(probs, t, e, ls)
 
-    def train_full(p, o, _key, i):
+    mil = model.mil_encoder
+
+    def img_branch(p, feats, mask):
+        q = model.apply({"params": p}, method=model.get_query)
+        return mil.apply({"params": dict(p)["mil_encoder"]}, feats, mask, query=q)
+
+    def train_full_step(p, o, feats, mask):
         def loss_fn(p):
             p = dict(p, prompt_encoder=jax.lax.stop_gradient(p["prompt_encoder"]))
             logits, _i, _t = model.apply({"params": p}, feats, mask)
@@ -76,16 +84,9 @@ def main():
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    mil = model.mil_encoder
-
-    def img_branch(p, train=False):
-        q = model.apply({"params": p}, method=model.get_query)
-        out = mil.apply({"params": dict(p)["mil_encoder"]}, feats, mask, query=q)
-        return out
-
-    def train_notower(p, o, _key, i):
+    def train_notower_step(p, o, feats, mask):
         def loss_fn(p):
-            img = img_branch(p)
+            img = img_branch(p, feats, mask)
             img_n = l2_normalize(img, axis=-1)
             text_n = l2_normalize(text_const, axis=-1)
             logits = jnp.exp(p["logit_scale"]) * img_n @ text_n.T
@@ -94,93 +95,97 @@ def main():
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    def infer_full(p, chain):
-        logits, _i, _t = model.apply({"params": p}, feats, mask)
-        return logits + chain * 1e-30
-
-    def infer_notower(p, chain):
-        img = img_branch(p)
-        img_n = l2_normalize(img, axis=-1)
-        text_n = l2_normalize(text_const, axis=-1)
-        return jnp.exp(p["logit_scale"]) * img_n @ text_n.T + chain * 1e-30
-
-    q_const = jnp.asarray(rng.normal(size=(12, D)).astype(np.float32))
-    q_eff = l2_normalize(q_const, axis=-1)
-
-    def kernel_fwd(chain):
-        out = coattn_pool(q_eff + chain * 1e-30, feats, mask, 100.0,
-                          x_stop_gradient=True)
-        return out
-
-    def kernel_fwd_bwd(q, chain):
-        def f(q):
-            out = coattn_pool(q, feats, mask, 100.0, x_stop_gradient=True)
-            return jnp.sum(out * 1e-6)
-        val, g = jax.value_and_grad(f)(q + chain * 1e-30)
-        return g
-
-    # ---- scanned wrappers (train variants carry (params, opt); infer/kernel
-    # chain a scalar so successive iterations stay data-dependent) ----
     def scan_train(step):
-        def run(p, o):
+        @jax.jit
+        def run(p, o, feats, mask):
             def body(carry, i):
                 p, o = carry
-                p, o, loss = step(p, o, key, i)
+                p, o, loss = step(p, o, feats, mask)
                 return (p, o), loss
             (_p, _o), losses = jax.lax.scan(body, (p, o), jnp.arange(SCAN_N))
             return losses[-1]
-        return jax.jit(run)
+        return run
 
-    def scan_chain(fn, *extra):
-        def run(p):
-            def body(chain, i):
-                out = fn(p, chain) if not extra else fn(*extra, chain)
-                return jnp.asarray(out, jnp.float32).ravel()[0] * 1e-30, out
-            chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(SCAN_N))
-            return jax.tree.leaves(outs)[0][-1]
-        return jax.jit(run)
+    def perturb(p, chain):
+        p = dict(p)
+        pl_tree = dict(p["prompt_learner"])
+        pl_tree["context_embeds"] = pl_tree["context_embeds"] + chain * 1e-30
+        p["prompt_learner"] = pl_tree
+        if "query_adapter" in p:
+            qa = dict(p["query_adapter"])
+            qa["residual_features"] = qa["residual_features"] + chain * 1e-30
+            p["query_adapter"] = qa
+        return p
 
-    def scan_kernel(fn, with_q=False):
-        def run(_p):
-            def body(chain, i):
-                out = fn(q_eff, chain) if with_q else fn(chain)
-                return jnp.asarray(out, jnp.float32).ravel()[0] * 1e-30, \
-                    jnp.asarray(out, jnp.float32).ravel()[0]
-            chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(SCAN_N))
-            return outs[-1]
-        return jax.jit(run)
+    @jax.jit
+    def infer_full(p, feats, mask):
+        def body(chain, _):
+            logits, _i, _t = model.apply({"params": perturb(p, chain)}, feats, mask)
+            return logits[0, 0] * 1e-30, logits[0, 0]
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(SCAN_N))
+        return outs[-1]
+
+    @jax.jit
+    def infer_notower(p, feats, mask):
+        def body(chain, _):
+            img = img_branch(perturb(p, chain), feats, mask)
+            img_n = l2_normalize(img, axis=-1)
+            text_n = l2_normalize(text_const, axis=-1)
+            out = jnp.exp(p["logit_scale"]) * img_n @ text_n.T
+            return out[0, 0] * 1e-30, out[0, 0]
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(SCAN_N))
+        return outs[-1]
+
+    @jax.jit
+    def kernel_fwd(q, feats, mask):
+        q_eff = l2_normalize(q, axis=-1)
+        def body(chain, _):
+            out = coattn_pool(q_eff + chain * 1e-30, feats, mask, 100.0,
+                              x_stop_gradient=True)
+            return out[0, 0, 0] * 1e-30, out[0, 0, 0]
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(SCAN_N))
+        return outs[-1]
+
+    @jax.jit
+    def kernel_fwd_bwd(q, feats, mask):
+        q_eff = l2_normalize(q, axis=-1)
+        def step(q_):
+            out = coattn_pool(q_, feats, mask, 100.0, x_stop_gradient=True)
+            return jnp.sum(out * 1e-6)
+        def body(chain, _):
+            g = jax.grad(step)(q_eff + chain * 1e-30)
+            return g[0, 0] * 1e-30, g[0, 0]
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(SCAN_N))
+        return outs[-1]
 
     results = {}
     def note(k):
         print(f"[decompose] {k} done", flush=True)
-    f_train = scan_train(train_full)
-    _ = float(np.asarray(f_train(params, opt_state)))
-    results["A_train_full_ms"] = timed(f_train, params, opt_state)
+
+    f_train = scan_train(train_full_step)
+    _ = float(np.asarray(f_train(params, opt_state, feats, mask)))
+    results["A_train_full_ms"] = timed(f_train, params, opt_state, feats, mask)
     note("A_train_full_ms")
 
-    f_nt = scan_train(train_notower)
-    _ = float(np.asarray(f_nt(params, opt_state)))
-    results["B_train_notower_ms"] = timed(f_nt, params, opt_state)
+    f_nt = scan_train(train_notower_step)
+    _ = float(np.asarray(f_nt(params, opt_state, feats, mask)))
+    results["B_train_notower_ms"] = timed(f_nt, params, opt_state, feats, mask)
     note("B_train_notower_ms")
 
-    f_inf = scan_chain(infer_full)
-    _ = float(np.asarray(f_inf(params)))
-    results["C_infer_full_ms"] = timed(f_inf, params)
+    _ = float(np.asarray(infer_full(params, feats, mask)))
+    results["C_infer_full_ms"] = timed(infer_full, params, feats, mask)
     note("C_infer_full_ms")
 
-    f_infnt = scan_chain(infer_notower)
-    _ = float(np.asarray(f_infnt(params)))
-    results["D_infer_notower_ms"] = timed(f_infnt, params)
+    _ = float(np.asarray(infer_notower(params, feats, mask)))
+    results["D_infer_notower_ms"] = timed(infer_notower, params, feats, mask)
     note("D_infer_notower_ms")
 
-    f_k = scan_kernel(kernel_fwd)
-    _ = float(np.asarray(f_k(params)))
-    results["E_kernel_fwd_ms"] = timed(f_k, params)
+    _ = float(np.asarray(kernel_fwd(q_const, feats, mask)))
+    results["E_kernel_fwd_ms"] = timed(kernel_fwd, q_const, feats, mask)
     note("E_kernel_fwd_ms")
 
-    f_kb = scan_kernel(kernel_fwd_bwd, with_q=True)
-    _ = float(np.asarray(f_kb(params)))
-    results["F_kernel_fwd_bwd_ms"] = timed(f_kb, params)
+    _ = float(np.asarray(kernel_fwd_bwd(q_const, feats, mask)))
+    results["F_kernel_fwd_bwd_ms"] = timed(kernel_fwd_bwd, q_const, feats, mask)
     note("F_kernel_fwd_bwd_ms")
 
     results["tower_train_ms"] = round(

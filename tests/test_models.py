@@ -306,6 +306,47 @@ def test_coattn_nodx_kernel_grads():
         co.INTERPRET = False
 
 
+def test_coattn_bf16_hilo_accuracy():
+    """bf16-stored features take the bf16 matmul path with hi+lo splits of
+    the small M-side matrices (docs/PERF.md): kernel COMPUTE error vs an
+    f32-compute reference on the same bf16-rounded data must be ~1e-4 —
+    i.e. the fast path adds nothing beyond the storage rounding itself."""
+    import vlsa_tpu.ops.coattn as co
+    co.INTERPRET = True
+    try:
+        P, B, N, C = 5, 2, 512, 64
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(P, C)), jnp.float32)
+        xb = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32).astype(jnp.bfloat16)
+        x_as32 = xb.astype(jnp.float32)  # same storage rounding, f32 compute
+        mask = jnp.asarray(rng.random((B, N)) > 0.2)
+        scale = 30.0
+
+        out_k = co._coattn_pool_tpu(q, xb, mask, jnp.float32(scale))
+        out_r = co.coattn_pool_reference(q, x_as32, mask, scale)
+        rel = float(jnp.max(jnp.abs(out_k - out_r)) / jnp.max(jnp.abs(out_r)))
+        assert rel < 1e-3, rel
+
+        dq_k = jax.grad(lambda q_: jnp.sum(
+            co._coattn_pool_tpu(q_, xb, mask, jnp.float32(scale)) ** 2))(q)
+        dq_r = jax.grad(lambda q_: jnp.sum(
+            co.coattn_pool_reference(q_, x_as32, mask, scale) ** 2))(q)
+        rel = float(jnp.max(jnp.abs(dq_k - dq_r)) / jnp.max(jnp.abs(dq_r)))
+        assert rel < 2e-3, rel
+
+        # full backward (dX path) stays close too
+        dq_k, dx_k = jax.grad(lambda q_, x_: jnp.sum(
+            co._coattn_pool_tpu(q_, x_, mask, jnp.float32(scale)) ** 2),
+            argnums=(0, 1))(q, xb)
+        dx_r = jax.grad(lambda x_: jnp.sum(
+            co.coattn_pool_reference(q, x_, mask, scale) ** 2))(x_as32)
+        s = float(jnp.max(jnp.abs(dx_r)))
+        rel = float(jnp.max(jnp.abs(dx_k.astype(jnp.float32) - dx_r))) / s
+        assert rel < 2e-2, rel  # dX is written in bf16 (storage dtype)
+    finally:
+        co.INTERPRET = False
+
+
 def test_trimmed_prompt_forward_identical():
     """Trimmed prompt encoding (VLSA.text_trim_len) is numerically identical
     to the full-context forward: causal attention means positions past the

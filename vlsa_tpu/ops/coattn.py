@@ -20,6 +20,18 @@ TPU-first design, both directions fused in Pallas:
         dQ = s * dlogits @ Xn         (accumulated across the whole grid)
     Nothing of size O(N) beyond dX itself touches HBM.
 
+Matmul precision follows X's storage dtype.  With P <= 16 queries every
+matmul is MXU *weight-load-bound* on the [bn, C] patch stream, so when the
+pipeline stores bf16 features the kernels stream X in bf16 (≈2x the f32-
+upcast rate) and:
+  * the per-patch 1/l2norm is factored OUT of the matmuls
+    (logits[p,n] = scale * inv[n] * (q . x[n])) so raw X is the operand,
+  * the backward's logits + dA matmuls stack [Q; G] into ONE X.T stream,
+  * every small M-side matrix (Q, G, softmax P, dlogits) is split hi+lo
+    into two bf16 rows (free in the weight-bound regime), recovering
+    ~f32 accuracy: kernel-vs-f32-compute error ~1e-4 on bf16 data.
+f32-stored features keep the exact f32 path end to end.
+
 `coattn_pool` is the public entry: Pallas on TPU, pure-XLA elsewhere.
 """
 from __future__ import annotations
@@ -85,9 +97,58 @@ def coattn_attention_reference(q: Array, x: Array, mask: Optional[Array], scale)
 # Pallas TPU kernels
 # ---------------------------------------------------------------------------
 
+def _inv_norm_row(x):
+    """Per-patch 1/l2norm of x [bn, C], returned in ROW layout [1, bn]
+    (f32 accumulation regardless of storage dtype)."""
+    xf = x.astype(jnp.float32)
+    sq = jnp.sum(xf * xf, axis=-1, keepdims=True)        # [bn, 1]
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    return inv.reshape(1, -1)                             # [1, bn]
+
+
+def _mm_rows(*mats, dtype):
+    """Stack matrices along rows for ONE matmul against a shared x stream.
+
+    When `dtype` is bf16, each f32 matrix is split into hi + lo bf16 halves
+    (t = hi + lo to ~16 mantissa bits).  The matmuls these feed are MXU
+    weight-load-bound on the [bn, C] patch stream with M = P <= 16, so extra
+    M rows are free — the split recovers near-f32 accuracy at bf16 speed.
+    Returns (stacked [k*M, C or bn], n_parts per matrix)."""
+    if dtype != jnp.bfloat16:
+        return jnp.concatenate(mats, axis=0) if len(mats) > 1 else mats[0], 1
+    parts = []
+    for t in mats:
+        tf = t.astype(jnp.float32)
+        hi = tf.astype(jnp.bfloat16)
+        lo = (tf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts.extend([hi, lo])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0], 2
+
+
+def _mm_unstack(prod, n_mats, n_parts):
+    """Undo _mm_rows on the matmul product: sum hi/lo partial products and
+    return the per-matrix results."""
+    rows = prod.shape[0] // (n_mats * n_parts)
+    outs = []
+    for k in range(n_mats):
+        base = k * n_parts * rows
+        acc = prod[base:base + rows]
+        if n_parts == 2:
+            acc = acc + prod[base + rows:base + 2 * rows]
+        outs.append(acc)
+    return outs
+
+
 def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
                        m_scr, l_scr, acc_scr, *, n_blocks: int):
-    """Grid (B, nN); scratch persists across the sequential N dimension."""
+    """Grid (B, nN); scratch persists across the sequential N dimension.
+
+    The per-patch l2 norm is factored OUT of the matmuls
+    (logits[p,n] = scale * inv[n] * (q . x[n])), so the MXU streams the
+    patch block in its storage dtype — native bf16 when the pipeline stores
+    bf16 features (the production config), f32 otherwise.  With P<=16 the
+    matmuls are MXU weight-load-bound, so halving the operand bytes roughly
+    halves kernel time.  Softmax stats stay f32."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -96,15 +157,16 @@ def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[:]                      # [P, C]
-    x = x_ref[0].astype(jnp.float32)  # [bn, C] (storage may be bf16)
+    q = q_ref[:]                      # [P, C] f32
+    x = x_ref[0]                      # [bn, C] storage dtype (bf16 or f32)
     msk = mask_ref[0, 0]              # [bn]
     scale = scale_ref[0, 0]
 
-    sq = jnp.sum(x * x, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
-    xn = x * inv
-    logits = scale * jnp.dot(q, xn.T, preferred_element_type=jnp.float32)
+    inv_row = _inv_norm_row(x)                            # [1, bn]
+    qs, np_ = _mm_rows(q, dtype=x.dtype)
+    raw, = _mm_unstack(jnp.dot(qs, x.T, preferred_element_type=jnp.float32),
+                       1, np_)                            # [P, bn]
+    logits = scale * raw * inv_row
     logits = jnp.where(msk[None, :] > 0, logits, -1e30)
 
     m_prev = m_scr[:]
@@ -112,9 +174,11 @@ def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
     correction = jnp.exp(m_prev - m_new)
     p = jnp.exp(logits - m_new)
     p = jnp.where(msk[None, :] > 0, p, 0.0)
+    ps, np_ = _mm_rows(p, dtype=x.dtype)
+    pv, = _mm_unstack(jnp.dot(ps, x, preferred_element_type=jnp.float32),
+                      1, np_)                             # [P, C]
     l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * correction + jnp.dot(
-        p, x, preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * correction + pv
     m_scr[:] = m_new
 
     @pl.when(i == n_blocks - 1)
@@ -138,37 +202,51 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[:]                      # [P, C]
-    x = x_ref[0].astype(jnp.float32)  # [bn, C] (storage may be bf16)
+    q = q_ref[:]                      # [P, C] f32
+    x = x_ref[0]                      # [bn, C] storage dtype (bf16 or f32)
     msk = mask_ref[0, 0]              # [bn]
     scale = scale_ref[0, 0]
-    g = g_ref[0]                      # [P, C]
+    g = g_ref[0]                      # [P, C] f32
     out = out_ref[0]                  # [P, C]
     m = stats_ref[0][:, 0:1]          # [P, 1]
     l = stats_ref[0][:, 1:2]          # [P, 1]
 
-    sq = jnp.sum(x * x, axis=-1, keepdims=True)          # [bn, 1]
-    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
-    xn = x * inv
-    logits = scale * jnp.dot(q, xn.T, preferred_element_type=jnp.float32)
+    inv_row = _inv_norm_row(x)                            # [1, bn]
+    # one stacked matmul against x.T: the logits dot (q . x[n]) and the
+    # attention cotangent dA[p,n] = g[p] . x[n] share one MXU weight stream
+    qg, np_ = _mm_rows(q, g, dtype=x.dtype)
+    both = jnp.dot(qg, x.T, preferred_element_type=jnp.float32)
+    raw, da = _mm_unstack(both, 2, np_)                   # [P, bn] each
+    logits = scale * raw * inv_row
     logits = jnp.where(msk[None, :] > 0, logits, -1e30)
     a = jnp.exp(logits - m) / l                           # [P, bn]
     a = jnp.where(msk[None, :] > 0, a, 0.0)
 
-    # dA[p, n] = g[p] . x[n];  S[p] = g[p] . out[p]
-    da = jnp.dot(g, x.T, preferred_element_type=jnp.float32)       # [P, bn]
+    # S[p] = g[p] . out[p]
     s_row = jnp.sum(g * out, axis=-1, keepdims=True)               # [P, 1]
     dlogits = a * (da - s_row)                                     # [P, bn]
+    # fold the norm into the logit cotangent once: dl_inv = dlogits * inv[n]
+    dl_inv = dlogits * inv_row                                     # [P, bn]
 
-    # dX = A^T g  +  (dxn - xn (xn . dxn)) * inv
-    dxn = scale * jnp.dot(dlogits.T, q, preferred_element_type=jnp.float32)  # [bn, C]
-    proj = jnp.sum(xn * dxn, axis=-1, keepdims=True)               # [bn, 1]
-    dx = jnp.dot(a.T, g, preferred_element_type=jnp.float32) \
-        + (dxn - xn * proj) * inv
+    # dX = A^T g + inv * (I - xn xn^T) dxn, with xn = x*inv never
+    # materialised as a matmul operand.  Using dxn_hat := inv * dxn:
+    #   dxn_hat[n] = scale * sum_p dl_inv[p,n] q[p]        (one matmul)
+    #   inv*(dxn - xn proj) = dxn_hat - x * inv^2 * (x . dxn_hat)
+    dxn_hat = scale * jnp.dot(
+        dl_inv.T.astype(x.dtype), q, preferred_element_type=jnp.float32)  # [bn, C]
+    xf = x.astype(jnp.float32)
+    inv_col = jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(xf * xf, axis=-1, keepdims=True), 1e-24))          # [bn, 1]
+    proj = jnp.sum(xf * dxn_hat, axis=-1, keepdims=True) * (inv_col * inv_col)
+    dx = jnp.dot(a.T.astype(x.dtype), g.astype(x.dtype),
+                 preferred_element_type=jnp.float32) \
+        + (dxn_hat - xf * proj)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
-    dq_scr[:] = dq_scr[:] + scale * jnp.dot(
-        dlogits, xn, preferred_element_type=jnp.float32)           # [P, C]
+    dls, np_ = _mm_rows(dl_inv, dtype=x.dtype)
+    dqc, = _mm_unstack(jnp.dot(dls, x, preferred_element_type=jnp.float32),
+                       1, np_)                            # [P, C]
+    dq_scr[:] = dq_scr[:] + scale * dqc
 
     @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
     def _finalize():
@@ -189,29 +267,32 @@ def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[:]
-    x = x_ref[0].astype(jnp.float32)
+    q = q_ref[:]                      # [P, C] f32
+    x = x_ref[0]                      # [bn, C] storage dtype (bf16 or f32)
     msk = mask_ref[0, 0]
     scale = scale_ref[0, 0]
-    g = g_ref[0]
+    g = g_ref[0]                      # [P, C] f32
     out = out_ref[0]
     m = stats_ref[0][:, 0:1]
     l = stats_ref[0][:, 1:2]
 
-    sq = jnp.sum(x * x, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
-    xn = x * inv
-    logits = scale * jnp.dot(q, xn.T, preferred_element_type=jnp.float32)
+    inv_row = _inv_norm_row(x)                            # [1, bn]
+    # stacked matmul: logits dot + dA share one x.T stream (see bwd kernel)
+    qg, np_ = _mm_rows(q, g, dtype=x.dtype)
+    both = jnp.dot(qg, x.T, preferred_element_type=jnp.float32)
+    raw, da = _mm_unstack(both, 2, np_)                   # [P, bn] each
+    logits = scale * raw * inv_row
     logits = jnp.where(msk[None, :] > 0, logits, -1e30)
     a = jnp.exp(logits - m) / l
     a = jnp.where(msk[None, :] > 0, a, 0.0)
 
-    da = jnp.dot(g, x.T, preferred_element_type=jnp.float32)
     s_row = jnp.sum(g * out, axis=-1, keepdims=True)
-    dlogits = a * (da - s_row)
+    dl_inv = (a * (da - s_row)) * inv_row                 # dlogits * inv[n]
 
-    dq_scr[:] = dq_scr[:] + scale * jnp.dot(
-        dlogits, xn, preferred_element_type=jnp.float32)
+    dls, np_ = _mm_rows(dl_inv, dtype=x.dtype)
+    dqc, = _mm_unstack(jnp.dot(dls, x, preferred_element_type=jnp.float32),
+                       1, np_)
+    dq_scr[:] = dq_scr[:] + scale * dqc
 
     @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
     def _finalize():
@@ -260,7 +341,8 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * C * (P_pad + 1) + 2 * B * P_pad * N * C,
-            bytes_accessed=4 * (B * N * C + B * P_pad * C + P_pad * C),
+            bytes_accessed=x.dtype.itemsize * B * N * C
+            + 4 * (B * P_pad * C + P_pad * C),
             transcendentals=B * P_pad * N,
         ),
     )(q.astype(jnp.float32), x,
@@ -301,7 +383,7 @@ def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
         scratch_shapes=[pltpu.VMEM((P_pad, C), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * B * N * C * P_pad,
-            bytes_accessed=4 * (2 * B * N * C + 3 * B * P_pad * C),
+            bytes_accessed=2 * x.dtype.itemsize * B * N * C + 4 * 3 * B * P_pad * C,
             transcendentals=B * P_pad * N,
         ),
     )(q_pad, x, mask.astype(jnp.float32)[:, None, :],
@@ -336,7 +418,7 @@ def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats):
         scratch_shapes=[pltpu.VMEM((P_pad, C), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * C * P_pad,
-            bytes_accessed=4 * (B * N * C + 3 * B * P_pad * C),
+            bytes_accessed=x.dtype.itemsize * B * N * C + 4 * 3 * B * P_pad * C,
             transcendentals=B * P_pad * N,
         ),
     )(q_pad, x, mask.astype(jnp.float32)[:, None, :],
