@@ -62,6 +62,11 @@ def main():
     if frozen_tower:
         frozen["prompt_encoder"] = jax.tree.map(
             lambda _: True, dict(params)["prompt_encoder"])
+        if dtype == "bfloat16":
+            # store the frozen tower's matmul weights in bf16 once — exactly
+            # the rounding the tower applies per step anyway (docs/PERF.md)
+            from vlsa_tpu.models.precision import cast_frozen_tower_weights
+            params = cast_frozen_tower_weights(params)
     tx = create_optimizer("adam", 2e-4, 1e-5, params, frozen=frozen)
     opt_state = tx.init(params)
 

@@ -49,6 +49,8 @@ def main():
     from vlsa_tpu.ops.masked import l2_normalize
 
     model, params = _build_flagship(small=False, tower_dtype="bfloat16")
+    from vlsa_tpu.models.precision import cast_frozen_tower_weights
+    params = cast_frozen_tower_weights(params)
     frozen = jax.tree.map(lambda _: False, dict(params))
     frozen["prompt_encoder"] = jax.tree.map(
         lambda _: True, dict(params)["prompt_encoder"])

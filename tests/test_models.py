@@ -408,3 +408,35 @@ def test_abmil_fused_backward_grads():
                                        rtol=2e-4, atol=2e-5, err_msg=name)
     finally:
         ab.INTERPRET = False
+
+
+def test_frozen_tower_bf16_weight_storage_identical():
+    """cast_frozen_tower_weights stores the resblock matmul weights in bf16;
+    since the bf16-compute tower casts them with .astype(bf16) inside every
+    matmul anyway, outputs must be BIT-IDENTICAL — only embeddings, LN params
+    and biases stay f32."""
+    from vlsa_tpu.models.text_encoder import make_text_tower
+    from vlsa_tpu.models.precision import cast_frozen_tower_weights
+
+    tower = make_text_tower("CONCH", width=64, heads=4, layers=2,
+                            context_length=32, vocab_size=128, output_dim=16,
+                            dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    L = tower.max_num_tokens
+    emb = jnp.asarray(rng.normal(size=(3, L, 64)), jnp.float32)
+    pseudo = jnp.zeros((3, L), jnp.int32).at[:, :5].set(jnp.arange(1, 6))
+    params = tower.init(jax.random.PRNGKey(0), prompts_embedding=emb,
+                        prompts_pseudo_tokens=pseudo)["params"]
+    out_f32store = tower.apply({"params": params}, prompts_embedding=emb,
+                               prompts_pseudo_tokens=pseudo)
+    cast = cast_frozen_tower_weights({"prompt_encoder": dict(params)})
+    out_bf16store = tower.apply({"params": cast["prompt_encoder"]},
+                                prompts_embedding=emb,
+                                prompts_pseudo_tokens=pseudo)
+    assert np.array_equal(np.asarray(out_f32store), np.asarray(out_bf16store))
+    # embeddings and LN params kept f32
+    pe = cast["prompt_encoder"]
+    assert pe["token_embedding"].dtype == jnp.float32
+    assert pe["resblock_0"]["attn"]["in_proj_weight"].dtype == jnp.bfloat16
+    assert pe["resblock_0"]["attn"]["in_proj_bias"].dtype == jnp.float32
+    assert pe["resblock_0"]["ln_1"]["scale"].dtype == jnp.float32

@@ -1,0 +1,42 @@
+"""Parameter-precision utilities.
+
+`cast_frozen_tower_weights` stores a frozen text tower's 2-D matmul weights
+in the tower's compute dtype (bf16).  The tower already casts these with
+`.astype(compute_dtype)` inside every matmul (text_encoder.py), so when the
+weights are frozen the per-step cast is loop-invariant work: pre-casting
+once is numerically IDENTICAL (same rounding, applied once) and
+
+  * removes the cast reads/writes from every training step, and
+  * halves the tower's weight HBM traffic (bf16 instead of f32 reads).
+
+Only the 2-D `*_weight` matrices are cast — biases are added to the f32
+matmul results, LayerNorm params stay f32 (LN runs f32), and the token /
+positional embeddings stay f32 because they are spliced with the learnable
+f32 prompt vectors before the per-block input cast.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_frozen_tower_weights(params: Mapping, module: str = "prompt_encoder",
+                              dtype=jnp.bfloat16) -> dict:
+    """Return params with `module`'s resblock 2-D matmul weights cast to
+    `dtype`.  Embeddings (`token_embedding`, `positional_embedding`,
+    `cls_emb`), LayerNorm params and biases keep f32.  No-op if the module
+    is absent."""
+    params = dict(params)
+    if module not in params:
+        return params
+    tower = dict(params[module])
+    for k, v in tower.items():
+        if k.startswith("resblock"):
+            tower[k] = jax.tree.map(
+                lambda t: t.astype(dtype)
+                if t.ndim == 2 and t.dtype == jnp.float32 else t,
+                dict(v))
+    params[module] = tower
+    return params

@@ -89,7 +89,12 @@ def build_vlsa(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rng, rng_tower, rng_model = jax.random.split(rng, 3)
 
-    tower = make_text_tower(vlsa_api, name=None, **(tower_overrides or {}))
+    overrides = dict(tower_overrides or {})
+    # config surface: `vlsa_txt_encoder_dtype: bfloat16` selects bf16 MXU
+    # compute in the tower (f32 accumulation/softmax; see text_encoder.py)
+    if text_encoder_cfg.get("dtype") and "dtype" not in overrides:
+        overrides["dtype"] = text_encoder_cfg["dtype"]
+    tower = make_text_tower(vlsa_api, name=None, **overrides)
     tokenizer = Tokenizer(root=path_clip_model, name=text_encoder_cfg.get("name"),
                           api=vlsa_api, context_length=tower.context_length)
 

@@ -89,6 +89,18 @@ class VLSAHandler(BaseHandler):
             "tower_overrides": cfg.get("_test_tower_overrides"),
         }
         module, params, tokenizer = load_model(arch, rng=self.rng, **arch_cfg)
+
+        # frozen tower + bf16 compute: store the resblock matmul weights in
+        # bf16 once — numerically identical to the per-step .astype the tower
+        # does anyway, but removes the loop-invariant cast from every train
+        # step and halves the tower's weight HBM traffic (docs/PERF.md)
+        txt_cfg = arch_cfg["text_encoder_cfg"]
+        tower_dtype = (arch_cfg.get("tower_overrides") or {}).get(
+            "dtype", txt_cfg.get("dtype"))
+        if txt_cfg.get("frozen", True) and str(tower_dtype) == "bfloat16":
+            from ..models.precision import cast_frozen_tower_weights
+            params = cast_frozen_tower_weights(dict(params))
+            print("[setup] frozen text-tower matmul weights stored in bf16")
         return module, params, {"tokenizer": tokenizer, "arch_cfg": arch_cfg}
 
     def frozen_paths(self, cfg):
