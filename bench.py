@@ -182,6 +182,31 @@ def main():
         out = infer_scan_jit(params, feats, mask)
         _ = float(out.sum())
         t_infer = min(t_infer, (time.perf_counter() - t0) / SCAN_N)
+
+    # production-eval variant: the runner's test_model precomputes the text
+    # branch once per eval pass (engine.text_precompute) — measure the
+    # resulting per-batch step as a detail (headline keeps the conservative
+    # per-step re-encode protocol, matching the reference's semantics)
+    def infer_pre_scan(params, feats, mask, tf, q, n):
+        def body(chain, _):
+            out, _i, _t = model.apply(
+                {"params": params}, feats, mask,
+                text_features=tf + chain * 1e-30,
+                query=None if q is None else q + chain * 1e-30)
+            return out[0, 0], out
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return outs[-1]
+
+    tf_pre, q_pre = jax.jit(
+        lambda p: model.apply({"params": p}, method=model.text_precompute))(params)
+    infer_pre_jit = jax.jit(functools.partial(infer_pre_scan, n=SCAN_N))
+    _ = float(infer_pre_jit(params, feats, mask, tf_pre, q_pre).sum())
+    t_infer_pre = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        out = infer_pre_jit(params, feats, mask, tf_pre, q_pre)
+        _ = float(out.sum())
+        t_infer_pre = min(t_infer_pre, (time.perf_counter() - t0) / SCAN_N)
     if profile_dir:
         jax.profiler.stop_trace()
         print(f"[bench] profile trace written to {profile_dir}")
@@ -232,6 +257,7 @@ def main():
         "detail": {
             "train_step_ms": round(t_train * 1e3, 2),
             "infer_step_ms": round(t_infer * 1e3, 2),
+            "infer_step_precomputed_text_ms": round(t_infer_pre * 1e3, 2),
             "batch_bags": B,
             "patches_per_bag": N,
             "backend": jax.default_backend(),

@@ -440,3 +440,20 @@ def test_frozen_tower_bf16_weight_storage_identical():
     assert pe["resblock_0"]["attn"]["in_proj_weight"].dtype == jnp.bfloat16
     assert pe["resblock_0"]["attn"]["in_proj_bias"].dtype == jnp.float32
     assert pe["resblock_0"]["ln_1"]["scale"].dtype == jnp.float32
+
+
+def test_vlsa_precomputed_text_identical():
+    """model(X, text_features=tf, query=q) with (tf, q) = text_precompute()
+    is bit-identical to the self-contained forward (eval-loop caching)."""
+    import jax as _jax
+    from __graft_entry__ import _build_flagship
+    model, params = _build_flagship(small=True, dim_in=64)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 64)), jnp.float32)
+    mask = jnp.ones((2, 64), bool)
+    out_full = model.apply({"params": params}, feats, mask)
+    tf, q = model.apply({"params": params}, method=model.text_precompute)
+    out_pre = model.apply({"params": params}, feats, mask,
+                          text_features=tf, query=q)
+    for a, b in zip(out_full, out_pre):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

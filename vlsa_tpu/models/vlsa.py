@@ -87,21 +87,33 @@ class VLSA(nn.Module):
         q = self.get_query()
         return self.mil_encoder.query_div_loss(query=q, **kws)
 
+    def text_precompute(self):
+        """(text_features, query) for a FIXED parameter set — the eval loop
+        computes these once per pass instead of once per batch (the text
+        branch is loop-invariant during evaluation; bit-identical results).
+        `query` is None for non-Text-query MIL encoders."""
+        return self.forward_text_only(), self.get_query()
+
     def encode_instances(self, X, mask=None, train: bool = False,
-                         ret_with_attn: bool = False):
+                         ret_with_attn: bool = False, query=None):
         kwargs = {}
         if isinstance(self.mil_encoder, VLFAN) and self.mil_encoder.query == "Text":
-            kwargs["query"] = self.get_query()
+            kwargs["query"] = self.get_query() if query is None else query
         if isinstance(self.mil_encoder, FeatMIL):
             return self.mil_encoder(X, mask)
         return self.mil_encoder(X, mask, train=train, ret_with_attn=ret_with_attn, **kwargs)
 
-    def __call__(self, X, mask=None, train: bool = False):
-        """X [B, N, D], mask [B, N] -> (logits [B, K], img_feats, text_feats)."""
-        text_features = self.forward_text_only()
+    def __call__(self, X, mask=None, train: bool = False,
+                 text_features=None, query=None):
+        """X [B, N, D], mask [B, N] -> (logits [B, K], img_feats, text_feats).
+
+        `text_features` / `query` override the text branch with values from
+        `text_precompute` (eval-loop caching); None = compute them here."""
+        if text_features is None:
+            text_features = self.forward_text_only()
         text_n = l2_normalize(text_features, axis=-1)        # [K, E]
 
-        image_features = self.encode_instances(X, mask, train=train)
+        image_features = self.encode_instances(X, mask, train=train, query=query)
         scale = self.get_logit_scale()
 
         if image_features.ndim == 3:

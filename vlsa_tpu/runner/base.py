@@ -407,6 +407,16 @@ class BaseHandler:
             self.params = merge_params(self.params, loaded["model"])
             params = self.params
         eval_fn = self.engine.eval_step()
+        # params are fixed for the whole eval pass -> encode the prompts /
+        # queries ONCE instead of once per batch (bit-identical; saves the
+        # full text-tower forward per batch, docs/PERF.md)
+        pre = self.engine.text_precompute()
+        if pre is not None and self.cfg.get("eval_precompute_text", True):
+            text_features, query = pre(params)
+            step_pre = self.engine.eval_step_precomputed()
+
+            def eval_fn(p, jb, _tf=text_features, _q=query):  # noqa: E731
+                return step_pre(p, jb, _tf, _q)
         batcher = self._make_batcher(dataset, self.cfg, shuffle=False)
         all_raw, all_gt, all_idx = [], [], []
         for batch in batcher:

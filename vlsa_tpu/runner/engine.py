@@ -224,3 +224,40 @@ class TrainEngine:
 
         self._eval_step = step
         return step
+
+    def text_precompute(self):
+        """Jitted (text_features, query) for a fixed parameter set, or None
+        if the model has no text branch.  During evaluation the params are
+        constant, so the prompt-learner -> text-tower forward (and the VLFAN
+        query adapter) are loop-invariant: computing them once per eval pass
+        instead of once per batch is bit-identical and saves the full tower
+        forward per batch (docs/PERF.md)."""
+        if not (self.uses_vl and hasattr(self.model, "text_precompute")):
+            return None
+        if getattr(self, "_text_precompute", None) is None:
+            model = self.model
+
+            @jax.jit
+            def pre(params):
+                return model.apply({"params": params},
+                                   method=model.text_precompute)
+            self._text_precompute = pre
+        return self._text_precompute
+
+    def eval_step_precomputed(self):
+        """Eval step consuming `text_precompute` outputs."""
+        if getattr(self, "_eval_step_pre", None) is None:
+            model = self.model
+
+            @jax.jit
+            def step(params, batch, text_features, query):
+                extra = {k: batch[k]
+                         for k in ("cluster_id", "edge_index", "edge_valid")
+                         if k in batch}
+                out = model.apply({"params": params}, batch["feats"],
+                                  mask=batch["mask"], train=False,
+                                  text_features=text_features, query=query,
+                                  **extra)
+                return out[0] if isinstance(out, tuple) else out
+            self._eval_step_pre = step
+        return self._eval_step_pre
