@@ -70,12 +70,13 @@ def main():
     tx = create_optimizer("adam", 2e-4, 1e-5, params, frozen=frozen)
     opt_state = tx.init(params)
 
-    def train_step(params, opt_state, feats, mask, t, e, rng):
+    def train_step(params, opt_state, feats, mask, t, e, rng, x_scale=None):
         def loss_fn(p):
             if frozen_tower:
                 p = dict(p, prompt_encoder=jax.lax.stop_gradient(p["prompt_encoder"]))
             logits, _i, _t = model.apply({"params": p}, feats, mask,
-                                         train=True, rngs={"dropout": rng})
+                                         train=True, rngs={"dropout": rng},
+                                         x_scale=x_scale)
             probs = jax.nn.softmax(logits, axis=-1)
             ls = jnp.exp(p["logit_scale"])
             return (surv_ifmle(probs, t, e)
@@ -86,11 +87,12 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def infer_step(params, feats, mask, chain):
+    def infer_step(params, feats, mask, chain, x_scale=None):
         # `chain` threads the previous output back in so successive timed
         # calls are data-dependent (the remote runtime dedupes identical
         # in-flight executions); added to the OUTPUT so no input copy occurs
-        logits, _i, _t = model.apply({"params": params}, feats, mask)
+        logits, _i, _t = model.apply({"params": params}, feats, mask,
+                                     x_scale=x_scale)
         return logits + chain * 1e-30
 
     train_jit = jax.jit(train_step, donate_argnums=(0, 1))
@@ -100,17 +102,17 @@ def main():
     # true device throughput with a single dispatch — the per-call dispatch
     # latency of a remote/tunnelled runtime would otherwise dominate, and
     # production training loops run device-resident exactly like this.
-    def train_scan(params, opt_state, feats, mask, t, e, key, n):
+    def train_scan(params, opt_state, feats, mask, t, e, key, n, x_scale=None):
         def body(carry, i):
             p, o = carry
             p, o, loss = train_step(p, o, feats, mask, t, e,
-                                    jax.random.fold_in(key, i))
+                                    jax.random.fold_in(key, i), x_scale)
             return (p, o), loss
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), jnp.arange(n))
         return params, opt_state, losses[-1]
 
-    def infer_scan(params, feats, mask, n):
+    def infer_scan(params, feats, mask, n, x_scale=None):
         # the chain must reach EVERY model input that feeds compute — the
         # prompt embeddings (text tower) AND the query adapter (co-attention
         # queries).  Perturbing only the prompt embeddings leaves the
@@ -126,7 +128,7 @@ def main():
                 qa = dict(p["query_adapter"])
                 qa["residual_features"] = qa["residual_features"] + chain * 1e-30
                 p["query_adapter"] = qa
-            out = infer_step(p, feats, mask, jnp.float32(0.0))
+            out = infer_step(p, feats, mask, jnp.float32(0.0), x_scale)
             return out[0, 0], out
         chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]
@@ -142,9 +144,18 @@ def main():
 
     rng = np.random.default_rng(0)
     feats_dtype = _os.environ.get("VLSA_TPU_BENCH_FEATS_DTYPE", "bfloat16")
-    feats = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
-    if feats_dtype == "bfloat16":
-        feats = feats.astype(jnp.bfloat16)
+    x_scale = None
+    feats_np = rng.normal(size=(B, N, D)).astype(np.float32)
+    if feats_dtype == "int8":
+        from vlsa_tpu.data.pipeline import quantize_feats_int8
+        q8, s8 = quantize_feats_int8(feats_np)
+        feats = jnp.asarray(q8)
+        x_scale = jnp.asarray(s8)
+    else:
+        feats = jnp.asarray(feats_np)
+        if feats_dtype == "bfloat16":
+            feats = feats.astype(jnp.bfloat16)
+    del feats_np
     mask = jnp.ones((B, N), bool)
     t = jnp.asarray(rng.integers(0, K, size=B), jnp.int32)
     e = jnp.asarray(rng.integers(0, 2, size=B), jnp.float32)
@@ -153,15 +164,17 @@ def main():
     # warmup / compile.  NOTE: jax.block_until_ready can return before the
     # remote device has finished under the tunnelled runtime, so every
     # timing below forces a scalar host transfer instead.
-    params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e, key)
+    params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e,
+                                        key, x_scale)
     _ = float(loss)
-    out = infer_jit(params, feats, mask, loss * 0.0)
+    out = infer_jit(params, feats, mask, loss * 0.0, x_scale)
     _ = float(out.sum())
 
     # warm the scanned programs, then time (one dispatch per measurement)
-    params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask, t, e, key)
+    params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask,
+                                             t, e, key, x_scale=x_scale)
     _ = float(loss)
-    _ = float(infer_scan_jit(params, feats, mask).sum())
+    _ = float(infer_scan_jit(params, feats, mask, x_scale=x_scale).sum())
 
     profile_dir = _os.environ.get("VLSA_TPU_BENCH_PROFILE")
     if profile_dir:
@@ -172,14 +185,15 @@ def main():
     for _rep in range(2):
         t0 = time.perf_counter()
         params, opt_state, loss = train_scan_jit(params, opt_state, feats,
-                                                 mask, t, e, key)
+                                                 mask, t, e, key,
+                                                 x_scale=x_scale)
         _ = float(loss)   # forces completion of all SCAN_N chained steps
         t_train = min(t_train, (time.perf_counter() - t0) / SCAN_N)
 
     t_infer = float("inf")
     for _rep in range(2):
         t0 = time.perf_counter()
-        out = infer_scan_jit(params, feats, mask)
+        out = infer_scan_jit(params, feats, mask, x_scale=x_scale)
         _ = float(out.sum())
         t_infer = min(t_infer, (time.perf_counter() - t0) / SCAN_N)
 
@@ -192,7 +206,8 @@ def main():
             out, _i, _t = model.apply(
                 {"params": params}, feats, mask,
                 text_features=tf + chain * 1e-30,
-                query=None if q is None else q + chain * 1e-30)
+                query=None if q is None else q + chain * 1e-30,
+                x_scale=x_scale)
             return out[0, 0], out
         _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]
@@ -217,7 +232,7 @@ def main():
         int(np.prod(x.shape)) for x in jax.tree.leaves(dict(params)["prompt_encoder"]))
     P_q = 12
     trim = model.text_trim_len or 128
-    feats_bytes = 2 if feats_dtype == "bfloat16" else 4
+    feats_bytes = {"bfloat16": 2, "int8": 1}.get(feats_dtype, 4)
     # coattn: fwd (logits + PV) + dQ-only bwd; tower: fwd + dgrad through
     # activations (weights frozen -> no wgrad); adapters negligible
     flops_train = (8 * B * N * D * P_q + 3 * B * N * D

@@ -161,7 +161,14 @@ class VLFAN(nn.Module):
         raise ValueError(self.query_pooling)
 
     def __call__(self, X, mask=None, query: Optional[Array] = None,
-                 ret_with_attn: bool = False, train: bool = False):
+                 ret_with_attn: bool = False, train: bool = False,
+                 x_scale: Optional[Array] = None):
+        if X.dtype == jnp.int8 and (self.use_feat_proj or self.sp_mesh is not None):
+            # int8 storage is only kernel-native on the frozen-feature fused
+            # path; anything that transforms X first works on dequantized bf16
+            from ..ops.coattn import dequantize_feats
+            X = dequantize_feats(X, x_scale).astype(jnp.bfloat16)
+            x_scale = None
         if self.use_feat_proj:
             X = self.feat_proj(X)
         q_eff = self.effective_query(query)
@@ -175,11 +182,13 @@ class VLFAN(nn.Module):
             # without a feat projecter nothing learnable feeds X -> declare it
             # constant so the backward runs the dQ-only kernel (no dX write)
             out = coattn_pool(q_eff, X, mask, scale,
-                              x_stop_gradient=not self.use_feat_proj)  # [B, P, C]
+                              x_stop_gradient=not self.use_feat_proj,
+                              x_scale=x_scale)  # [B, P, C]
         pooled, pooled_ext = self.forward_query_pooling(out, train=train)
         feats = self.visual_adapter(pooled) if self.pred_head != "Identity" else pooled
         if ret_with_attn:
-            A = coattn_attention_reference(q_eff, X, mask, scale)  # [B, P, N]
+            A = coattn_attention_reference(q_eff, X, mask, scale,
+                                           x_scale=x_scale)  # [B, P, N]
             attn = (A, pooled_ext) if pooled_ext is not None else A
             return feats, attn
         return feats

@@ -94,26 +94,38 @@ class VLSA(nn.Module):
         `query` is None for non-Text-query MIL encoders."""
         return self.forward_text_only(), self.get_query()
 
+    # engine checks this to thread int8 per-patch dequant scales through
+    accepts_x_scale = True
+
     def encode_instances(self, X, mask=None, train: bool = False,
-                         ret_with_attn: bool = False, query=None):
+                         ret_with_attn: bool = False, query=None, x_scale=None):
         kwargs = {}
         if isinstance(self.mil_encoder, VLFAN) and self.mil_encoder.query == "Text":
             kwargs["query"] = self.get_query() if query is None else query
+        if isinstance(self.mil_encoder, VLFAN):
+            kwargs["x_scale"] = x_scale
+        elif x_scale is not None:
+            # only VLFAN consumes int8 natively; dequantize for the rest
+            from ..ops.coattn import dequantize_feats
+            X = dequantize_feats(X, x_scale).astype(jnp.bfloat16)
         if isinstance(self.mil_encoder, FeatMIL):
             return self.mil_encoder(X, mask)
         return self.mil_encoder(X, mask, train=train, ret_with_attn=ret_with_attn, **kwargs)
 
     def __call__(self, X, mask=None, train: bool = False,
-                 text_features=None, query=None):
+                 text_features=None, query=None, x_scale=None):
         """X [B, N, D], mask [B, N] -> (logits [B, K], img_feats, text_feats).
 
         `text_features` / `query` override the text branch with values from
-        `text_precompute` (eval-loop caching); None = compute them here."""
+        `text_precompute` (eval-loop caching); None = compute them here.
+        `x_scale` [B, N]: per-patch dequant scales for int8-stored X
+        (feats_dtype: int8)."""
         if text_features is None:
             text_features = self.forward_text_only()
         text_n = l2_normalize(text_features, axis=-1)        # [K, E]
 
-        image_features = self.encode_instances(X, mask, train=train, query=query)
+        image_features = self.encode_instances(X, mask, train=train, query=query,
+                                               x_scale=x_scale)
         scale = self.get_logit_scale()
 
         if image_features.ndim == 3:

@@ -75,9 +75,19 @@ def _pick_block(N: int):
     return None
 
 
-def coattn_pool_reference(q: Array, x: Array, mask: Optional[Array], scale) -> Array:
+def dequantize_feats(x: Array, x_scale: Optional[Array]) -> Array:
+    """Undo per-patch symmetric int8 quantization: x [.., N, C] int8,
+    x_scale [.., N] f32 -> f32 features."""
+    if x_scale is None:
+        return x
+    return x.astype(jnp.float32) * x_scale[..., None]
+
+
+def coattn_pool_reference(q: Array, x: Array, mask: Optional[Array], scale,
+                          x_scale: Optional[Array] = None) -> Array:
     """Pure-XLA reference: q [P, C] (pre-normalised/gated), x [B, N, C],
     mask [B, N] (bool) -> out [B, P, C]."""
+    x = dequantize_feats(x, x_scale)
     xn = l2_normalize(x, axis=-1)
     logits = scale * jnp.einsum("pc,bnc->bpn", q, xn)
     m = None if mask is None else mask[:, None, :]
@@ -85,8 +95,10 @@ def coattn_pool_reference(q: Array, x: Array, mask: Optional[Array], scale) -> A
     return jnp.einsum("bpn,bnc->bpc", attn, x)
 
 
-def coattn_attention_reference(q: Array, x: Array, mask: Optional[Array], scale) -> Array:
+def coattn_attention_reference(q: Array, x: Array, mask: Optional[Array], scale,
+                               x_scale: Optional[Array] = None) -> Array:
     """Return the attention matrix [B, P, N] (interpretation path)."""
+    x = dequantize_feats(x, x_scale)
     xn = l2_normalize(x, axis=-1)
     logits = scale * jnp.einsum("pc,bnc->bpn", q, xn)
     m = None if mask is None else mask[:, None, :]
@@ -104,6 +116,13 @@ def _inv_norm_row(x):
     sq = jnp.sum(xf * xf, axis=-1, keepdims=True)        # [bn, 1]
     inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
     return inv.reshape(1, -1)                             # [1, bn]
+
+
+def _x_stream(x):
+    """MXU operand view of a stored patch block: int8 storage upcasts
+    in-VMEM to bf16 (the HBM stream is the int8 bytes — half of bf16;
+    the matmuls stay bf16).  bf16/f32 storage passes through."""
+    return x.astype(jnp.bfloat16) if x.dtype == jnp.int8 else x
 
 
 def _mm_rows(*mats, dtype):
@@ -139,8 +158,8 @@ def _mm_unstack(prod, n_mats, n_parts):
     return outs
 
 
-def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
-                       m_scr, l_scr, acc_scr, *, n_blocks: int):
+def _coattn_fwd_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
+                     stats_ref, m_scr, l_scr, acc_scr, *, n_blocks: int):
     """Grid (B, nN); scratch persists across the sequential N dimension.
 
     The per-patch l2 norm is factored OUT of the matmuls
@@ -148,7 +167,14 @@ def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
     patch block in its storage dtype — native bf16 when the pipeline stores
     bf16 features (the production config), f32 otherwise.  With P<=16 the
     matmuls are MXU weight-load-bound, so halving the operand bytes roughly
-    halves kernel time.  Softmax stats stay f32."""
+    halves kernel time.  Softmax stats stay f32.
+
+    int8 storage (`xs_ref` set): per-patch symmetric quantization
+    x_deq[n] = s[n] * x_i[n].  The normalised logits are INVARIANT to the
+    per-patch scale (q . x_deq[n]) / ||x_deq[n]|| = (q . x_i[n]) / ||x_i[n]||,
+    so the logit path runs on the raw int8 values; only the PV accumulation
+    needs the scale, folded into the softmax weights (p * s) — the dequantised
+    features are never materialised."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -158,7 +184,7 @@ def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[:]                      # [P, C] f32
-    x = x_ref[0]                      # [bn, C] storage dtype (bf16 or f32)
+    x = _x_stream(x_ref[0])           # [bn, C] bf16 or f32 MXU operand
     msk = mask_ref[0, 0]              # [bn]
     scale = scale_ref[0, 0]
 
@@ -174,7 +200,10 @@ def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
     correction = jnp.exp(m_prev - m_new)
     p = jnp.exp(logits - m_new)
     p = jnp.where(msk[None, :] > 0, p, 0.0)
-    ps, np_ = _mm_rows(p, dtype=x.dtype)
+    # int8: fold the dequant scale into the softmax weights so pv equals
+    # A_block @ X_deq_block; `l` keeps accumulating the UNSCALED p
+    pv_weights = p if xs_ref is None else p * xs_ref[0, 0][None, :]
+    ps, np_ = _mm_rows(pv_weights, dtype=x.dtype)
     pv, = _mm_unstack(jnp.dot(ps, x, preferred_element_type=jnp.float32),
                       1, np_)                             # [P, C]
     l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=1, keepdims=True)
@@ -189,6 +218,18 @@ def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (P_pad, _STATS_LANES), 1)
         stats = jnp.where(lane == 0, m_scr[:], 0.0) + jnp.where(lane == 1, l_safe, 0.0)
         stats_ref[0] = stats
+
+
+def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
+                       m_scr, l_scr, acc_scr, *, n_blocks: int):
+    _coattn_fwd_body(q_ref, x_ref, None, mask_ref, scale_ref, out_ref,
+                     stats_ref, m_scr, l_scr, acc_scr, n_blocks=n_blocks)
+
+
+def _coattn_fwd_kernel_q8(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
+                          stats_ref, m_scr, l_scr, acc_scr, *, n_blocks: int):
+    _coattn_fwd_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
+                     stats_ref, m_scr, l_scr, acc_scr, n_blocks=n_blocks)
 
 
 def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
@@ -253,12 +294,17 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
         dq_ref[:] = dq_scr[:]
 
 
-def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
-                          stats_ref, dq_ref, dq_scr, *, n_blocks: int):
+def _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
+                        out_ref, stats_ref, dq_ref, dq_scr, *, n_blocks: int):
     """dQ-only backward: for models where the patch features are constants
     (no feat projecter / instance adapter upstream), the dX pass is dead
     work — this kernel skips the [B, N, C] cotangent entirely (one fewer
-    HBM write of B*N*C floats plus one fewer [bn,C]x[C,P] matmul)."""
+    HBM write of B*N*C floats plus one fewer [bn,C]x[C,P] matmul).
+
+    int8 storage (`xs_ref` set): the normalised-logit recompute and the
+    dQ contraction sum(dlogits * inv * x) are both invariant to the per-patch
+    dequant scale (inv_deq[n]*x_deq[n] = inv_i[n]*x_i[n]); only the attention
+    cotangent dA[p,n] = g[p] . x_deq[n] needs it (da_i * s[n])."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -268,7 +314,7 @@ def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     q = q_ref[:]                      # [P, C] f32
-    x = x_ref[0]                      # [bn, C] storage dtype (bf16 or f32)
+    x = _x_stream(x_ref[0])           # [bn, C] bf16 or f32 MXU operand
     msk = mask_ref[0, 0]
     scale = scale_ref[0, 0]
     g = g_ref[0]                      # [P, C] f32
@@ -281,6 +327,8 @@ def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
     qg, np_ = _mm_rows(q, g, dtype=x.dtype)
     both = jnp.dot(qg, x.T, preferred_element_type=jnp.float32)
     raw, da = _mm_unstack(both, 2, np_)                   # [P, bn] each
+    if xs_ref is not None:
+        da = da * xs_ref[0, 0][None, :]                   # g . x_deq
     logits = scale * raw * inv_row
     logits = jnp.where(msk[None, :] > 0, logits, -1e30)
     a = jnp.exp(logits - m) / l
@@ -299,6 +347,19 @@ def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
         dq_ref[:] = dq_scr[:]
 
 
+def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
+                          stats_ref, dq_ref, dq_scr, *, n_blocks: int):
+    _coattn_bwd_dq_body(q_ref, x_ref, None, mask_ref, scale_ref, g_ref,
+                        out_ref, stats_ref, dq_ref, dq_scr, n_blocks=n_blocks)
+
+
+def _coattn_bwd_dq_kernel_q8(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
+                             out_ref, stats_ref, dq_ref, dq_scr, *,
+                             n_blocks: int):
+    _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
+                        out_ref, stats_ref, dq_ref, dq_scr, n_blocks=n_blocks)
+
+
 def _pad_q(q):
     P = q.shape[0]
     P_pad = max(8, int(np.ceil(P / 8)) * 8)
@@ -307,22 +368,34 @@ def _pad_q(q):
     return q, P, P_pad
 
 
-def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array):
+def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array,
+                       x_scale: Optional[Array] = None):
     B, N, C = x.shape
     block_n = _pick_block(N)
     assert block_n is not None, f"bag length {N} has no 128-aligned tile"
     n_blocks = N // block_n
     q, P, P_pad = _pad_q(q)
 
-    kernel = functools.partial(_coattn_fwd_kernel, n_blocks=n_blocks)
+    x_block = pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM)
+    if x_scale is None:
+        kernel = functools.partial(_coattn_fwd_kernel, n_blocks=n_blocks)
+        xs_specs, xs_args = [], ()
+    else:
+        kernel = functools.partial(_coattn_fwd_kernel_q8, n_blocks=n_blocks)
+        xs_specs = [row_block]
+        xs_args = (x_scale.astype(jnp.float32)[:, None, :],)
     out, stats = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            x_block,
+            *xs_specs,
+            row_block,
             pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -345,7 +418,7 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array):
             + 4 * (B * P_pad * C + P_pad * C),
             transcendentals=B * P_pad * N,
         ),
-    )(q.astype(jnp.float32), x,
+    )(q.astype(jnp.float32), x, *xs_args,
       mask.astype(jnp.float32)[:, None, :],
       jnp.asarray(scale, jnp.float32).reshape(1, 1))
     return out, stats, P, P_pad
@@ -391,21 +464,33 @@ def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
     return dx, dq
 
 
-def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats):
+def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats,
+                          x_scale: Optional[Array] = None):
     B, N, C = x.shape
     block_n = _pick_block(N)
     n_blocks = N // block_n
     P_pad = q_pad.shape[0]
 
-    kernel = functools.partial(_coattn_bwd_dq_kernel, n_blocks=n_blocks)
+    x_block = pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM)
+    if x_scale is None:
+        kernel = functools.partial(_coattn_bwd_dq_kernel, n_blocks=n_blocks)
+        xs_specs, xs_args = [], ()
+    else:
+        kernel = functools.partial(_coattn_bwd_dq_kernel_q8, n_blocks=n_blocks)
+        xs_specs = [row_block]
+        xs_args = (x_scale.astype(jnp.float32)[:, None, :],)
     dq = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((P_pad, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            x_block,
+            *xs_specs,
+            row_block,
             pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P_pad, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -421,7 +506,7 @@ def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats):
             bytes_accessed=x.dtype.itemsize * B * N * C + 4 * 3 * B * P_pad * C,
             transcendentals=B * P_pad * N,
         ),
-    )(q_pad, x, mask.astype(jnp.float32)[:, None, :],
+    )(q_pad, x, *xs_args, mask.astype(jnp.float32)[:, None, :],
       jnp.asarray(scale, jnp.float32).reshape(1, 1), g_pad, out_pad, stats)
     return dq
 
@@ -469,9 +554,37 @@ def _coattn_nodx_bwd_rule(res, g):
 _coattn_pool_tpu_nodx.defvjp(_coattn_fwd_rule, _coattn_nodx_bwd_rule)
 
 
+@jax.custom_vjp
+def _coattn_pool_tpu_nodx_q8(q, x, x_scale, mask, scale):
+    """int8-feature variant: x [B, N, C] int8, x_scale [B, N] per-patch
+    dequant scales.  Features are constants (dQ-only backward)."""
+    out, _stats, P, _P_pad = _coattn_pallas_fwd(q, x, mask, scale, x_scale)
+    return out[:, :P, :]
+
+
+def _coattn_q8_fwd_rule(q, x, x_scale, mask, scale):
+    out, stats, P, P_pad = _coattn_pallas_fwd(q, x, mask, scale, x_scale)
+    q_pad, _, _ = _pad_q(q)
+    return out[:, :P, :], (q_pad, x, x_scale, mask, scale, out, stats, P)
+
+
+def _coattn_q8_bwd_rule(res, g):
+    q_pad, x, x_scale, mask, scale, out_pad, stats, P = res
+    P_pad = q_pad.shape[0]
+    g_pad = jnp.pad(g, ((0, 0), (0, P_pad - P), (0, 0))) if P_pad != P else g
+    dq = _coattn_pallas_bwd_dq(q_pad.astype(jnp.float32), x, mask, scale,
+                               g_pad.astype(jnp.float32), out_pad, stats,
+                               x_scale)
+    return dq[:P], None, None, None, None
+
+
+_coattn_pool_tpu_nodx_q8.defvjp(_coattn_q8_fwd_rule, _coattn_q8_bwd_rule)
+
+
 def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
                 use_pallas: Optional[bool] = None,
-                x_stop_gradient: bool = False) -> Array:
+                x_stop_gradient: bool = False,
+                x_scale: Optional[Array] = None) -> Array:
     """Fused masked cross-attention pooling.
 
     q [P, C] effective queries (already l2-normalised and gate-combined),
@@ -483,9 +596,19 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
     the right setting whenever nothing learnable feeds X (VLFAN without a
     feat projecter, the common production config).
 
+    int8 storage (`feats_dtype: int8`): x int8 with per-patch dequant
+    scales `x_scale` [B, N] — halves the kernels' HBM stream again vs bf16.
+    Only valid with `x_stop_gradient=True` (quantized features are
+    constants by construction).
+
     Note: `scale` is treated as a constant in the Pallas path (the VLFAN
     co-attention scale is a frozen buffer, ref deepmil.py:121-126).
     """
+    if x.dtype == jnp.int8:
+        assert x_scale is not None, "int8 features need x_scale [B, N]"
+        assert x_stop_gradient, \
+            "int8 features are constants; use x_stop_gradient=True " \
+            "(quantized storage cannot back-propagate into a feat projecter)"
     if use_pallas is None:
         use_pallas = (_HAS_PALLAS and jax.default_backend() == "tpu"
                       and _pick_block(x.shape[1]) is not None
@@ -494,9 +617,12 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
         mask = jnp.ones(x.shape[:2], bool)
     if use_pallas:
         scale = jnp.asarray(scale, jnp.float32)
+        if x.dtype == jnp.int8:
+            return _coattn_pool_tpu_nodx_q8(q, x, x_scale, mask, scale)
         if x_stop_gradient:
             return _coattn_pool_tpu_nodx(q, jax.lax.stop_gradient(x), mask, scale)
         return _coattn_pool_tpu(q, x, mask, scale)
     if x_stop_gradient:
         x = jax.lax.stop_gradient(x)
-    return coattn_pool_reference(q, x, mask, scale)
+        x_scale = None if x_scale is None else jax.lax.stop_gradient(x_scale)
+    return coattn_pool_reference(q, x, mask, scale, x_scale=x_scale)

@@ -421,7 +421,8 @@ class BaseHandler:
         all_raw, all_gt, all_idx = [], [], []
         for batch in batcher:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k in ("feats", "mask", "cluster_id", "edge_index", "edge_valid")}
+                  if k in ("feats", "feats_scale", "mask", "cluster_id",
+                           "edge_index", "edge_valid")}
             raw = eval_fn(params, jb)
             valid = batch["valid"]
             all_raw.append(np.asarray(raw)[valid])

@@ -24,6 +24,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..parallel import batch_pspec, make_mesh, param_shardings  # noqa: F401
 
 
+def _feats_inputs(model, batch: dict):
+    """(feats, extra kwargs) for a model apply, handling int8 storage:
+    models that understand per-patch dequant scales (VLSA -> VLFAN fused
+    kernels) get `x_scale`; anything else sees dequantized bf16 features."""
+    if "feats_scale" not in batch:
+        return batch["feats"], {}
+    if getattr(model, "accepts_x_scale", False):
+        return batch["feats"], {"x_scale": batch["feats_scale"]}
+    from ..ops.coattn import dequantize_feats
+    feats = dequantize_feats(batch["feats"], batch["feats_scale"])
+    return feats.astype(jnp.bfloat16), {}
+
+
 def make_output_converter(name: Optional[str]) -> Callable:
     """ref utils/func.py:40-48."""
     if name == "sigmoid":
@@ -144,9 +157,10 @@ class TrainEngine:
                     p, frozen)
             extra = {k: batch[k] for k in ("cluster_id", "edge_index", "edge_valid")
                      if k in batch}
-            out = model.apply({"params": p}, batch["feats"],
+            feats, feat_kws = _feats_inputs(model, batch)
+            out = model.apply({"params": p}, feats,
                               mask=batch["mask"], train=True,
-                              rngs={"dropout": rng}, **extra)
+                              rngs={"dropout": rng}, **extra, **feat_kws)
             raw = out[0] if isinstance(out, tuple) else out
             ls = jnp.exp(p["logit_scale"]) if uses_vl else None
             qd = (lambda: model.apply({"params": p}, method=model.query_div_loss)) \
@@ -218,8 +232,9 @@ class TrainEngine:
         def step(params, batch):
             extra = {k: batch[k] for k in ("cluster_id", "edge_index", "edge_valid")
                      if k in batch}
-            out = model.apply({"params": params}, batch["feats"],
-                              mask=batch["mask"], train=False, **extra)
+            feats, feat_kws = _feats_inputs(model, batch)
+            out = model.apply({"params": params}, feats,
+                              mask=batch["mask"], train=False, **extra, **feat_kws)
             return out[0] if isinstance(out, tuple) else out
 
         self._eval_step = step
@@ -254,10 +269,11 @@ class TrainEngine:
                 extra = {k: batch[k]
                          for k in ("cluster_id", "edge_index", "edge_valid")
                          if k in batch}
-                out = model.apply({"params": params}, batch["feats"],
+                feats, feat_kws = _feats_inputs(model, batch)
+                out = model.apply({"params": params}, feats,
                                   mask=batch["mask"], train=False,
                                   text_features=text_features, query=query,
-                                  **extra)
+                                  **extra, **feat_kws)
                 return out[0] if isinstance(out, tuple) else out
             self._eval_step_pre = step
         return self._eval_step_pre
