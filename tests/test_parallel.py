@@ -229,3 +229,19 @@ def test_make_mesh_dcn_fallback():
     """dcn_data on a single-slice host falls back to a flat data mesh."""
     mesh = make_mesh(n_data=2, n_model=2, dcn_data=2)
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_eval_collection_degenerates_single_process():
+    """collect_global / host_allgather (pod eval collection, SURVEY §2.8
+    elastic row): on one process they are exact no-ops, including on
+    mesh-sharded jax.Arrays."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vlsa_tpu.parallel.multihost import collect_global, host_allgather
+
+    x = np.arange(12, dtype=np.float32).reshape(6, 2)
+    np.testing.assert_array_equal(host_allgather(x), x)
+    mesh = make_mesh(n_data=2, n_model=1)
+    sharded = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(collect_global(sharded), x)
+    np.testing.assert_array_equal(collect_global(np.float32(3.0)), 3.0)

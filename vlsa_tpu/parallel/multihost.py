@@ -52,6 +52,36 @@ def process_shard_info() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def collect_global(x) -> "np.ndarray":
+    """Fetch a (possibly multi-host sharded) jax.Array to host numpy.
+
+    Single-process / fully-addressable arrays take the plain `np.asarray`
+    path; on a pod, shards living on other hosts are gathered with
+    `multihost_utils.process_allgather` (one DCN all-gather of the model
+    outputs per eval batch — the [B, K] logits, never the bags).
+    """
+    import numpy as np
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def host_allgather(x) -> "np.ndarray":
+    """Concatenate per-host numpy arrays across processes (axis 0).
+
+    The BagBatcher's multi-host mode gives every process the contiguous
+    `shard_index`-th slice of each global batch, so concatenation in process
+    order restores the global batch order.  Single-process: identity.
+    """
+    import numpy as np
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def make_global_batch(local_batch: dict, mesh: Mesh,
                       seq_parallel: bool = False) -> dict:
     """Assemble global jax.Arrays from this process's local batch shard.

@@ -386,10 +386,15 @@ class BaseHandler:
             jb = self.engine.shard_batch(jb)
             self.params, self.opt_state, loss, raw = step_fn(
                 self.params, self.opt_state, jb, step_rng)
-            valid = batch["valid"]
-            all_raw.append(np.asarray(raw)[valid])
-            all_gt.append(np.stack([batch["t"][valid], batch["e"][valid]], 1))
-            all_idx.append(batch["idx"][valid])
+            # multi-host: `raw` is a globally-sharded array and the batch
+            # dict holds only this host's slice — gather both (no-ops on a
+            # single process, parallel.multihost)
+            from ..parallel.multihost import collect_global, host_allgather
+            valid = host_allgather(batch["valid"])
+            all_raw.append(collect_global(raw)[valid])
+            all_gt.append(np.stack([host_allgather(batch["t"])[valid],
+                                    host_allgather(batch["e"])[valid]], 1))
+            all_idx.append(host_allgather(batch["idx"])[valid])
             if self.writer is not None:
                 self.writer.log({"train/batch_loss": float(loss)})
         all_raw = np.concatenate(all_raw)
@@ -420,14 +425,20 @@ class BaseHandler:
         batcher = self._make_batcher(dataset, self.cfg, shuffle=False)
         all_raw, all_gt, all_idx = [], [], []
         for batch in batcher:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
+            jb = {k: v for k, v in batch.items()
                   if k in ("feats", "feats_scale", "mask", "cluster_id",
                            "edge_index", "edge_valid")}
+            # mesh runs shard the eval batch too (multi-host: assembles the
+            # global arrays from this host's slice); single-device: as-is
+            jb = (self.engine.shard_batch(jb) if self.engine.mesh is not None
+                  else {k: jnp.asarray(v) for k, v in jb.items()})
             raw = eval_fn(params, jb)
-            valid = batch["valid"]
-            all_raw.append(np.asarray(raw)[valid])
-            all_gt.append(np.stack([batch["t"][valid], batch["e"][valid]], 1))
-            all_idx.append(batch["idx"][valid])
+            from ..parallel.multihost import collect_global, host_allgather
+            valid = host_allgather(batch["valid"])
+            all_raw.append(collect_global(raw)[valid])
+            all_gt.append(np.stack([host_allgather(batch["t"])[valid],
+                                    host_allgather(batch["e"])[valid]], 1))
+            all_idx.append(host_allgather(batch["idx"])[valid])
         all_raw = np.concatenate(all_raw)
         all_gt = np.concatenate(all_gt)
         all_idx = np.concatenate(all_idx)
