@@ -70,13 +70,14 @@ def main():
     tx = create_optimizer("adam", 2e-4, 1e-5, params, frozen=frozen)
     opt_state = tx.init(params)
 
-    def train_step(params, opt_state, feats, mask, t, e, rng, x_scale=None):
+    def train_step(params, opt_state, feats, mask, t, e, rng, x_scale=None,
+                   x_inv=None):
         def loss_fn(p):
             if frozen_tower:
                 p = dict(p, prompt_encoder=jax.lax.stop_gradient(p["prompt_encoder"]))
             logits, _i, _t = model.apply({"params": p}, feats, mask,
                                          train=True, rngs={"dropout": rng},
-                                         x_scale=x_scale)
+                                         x_scale=x_scale, x_inv=x_inv)
             probs = jax.nn.softmax(logits, axis=-1)
             ls = jnp.exp(p["logit_scale"])
             return (surv_ifmle(probs, t, e)
@@ -87,12 +88,12 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def infer_step(params, feats, mask, chain, x_scale=None):
+    def infer_step(params, feats, mask, chain, x_scale=None, x_inv=None):
         # `chain` threads the previous output back in so successive timed
         # calls are data-dependent (the remote runtime dedupes identical
         # in-flight executions); added to the OUTPUT so no input copy occurs
         logits, _i, _t = model.apply({"params": params}, feats, mask,
-                                     x_scale=x_scale)
+                                     x_scale=x_scale, x_inv=x_inv)
         return logits + chain * 1e-30
 
     train_jit = jax.jit(train_step, donate_argnums=(0, 1))
@@ -102,17 +103,18 @@ def main():
     # true device throughput with a single dispatch — the per-call dispatch
     # latency of a remote/tunnelled runtime would otherwise dominate, and
     # production training loops run device-resident exactly like this.
-    def train_scan(params, opt_state, feats, mask, t, e, key, n, x_scale=None):
+    def train_scan(params, opt_state, feats, mask, t, e, key, n, x_scale=None,
+                   x_inv=None):
         def body(carry, i):
             p, o = carry
             p, o, loss = train_step(p, o, feats, mask, t, e,
-                                    jax.random.fold_in(key, i), x_scale)
+                                    jax.random.fold_in(key, i), x_scale, x_inv)
             return (p, o), loss
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), jnp.arange(n))
         return params, opt_state, losses[-1]
 
-    def infer_scan(params, feats, mask, n, x_scale=None):
+    def infer_scan(params, feats, mask, n, x_scale=None, x_inv=None):
         # the chain must reach EVERY model input that feeds compute — the
         # prompt embeddings (text tower) AND the query adapter (co-attention
         # queries).  Perturbing only the prompt embeddings leaves the
@@ -128,7 +130,7 @@ def main():
                 qa = dict(p["query_adapter"])
                 qa["residual_features"] = qa["residual_features"] + chain * 1e-30
                 p["query_adapter"] = qa
-            out = infer_step(p, feats, mask, jnp.float32(0.0), x_scale)
+            out = infer_step(p, feats, mask, jnp.float32(0.0), x_scale, x_inv)
             return out[0, 0], out
         chain, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]
@@ -144,17 +146,21 @@ def main():
 
     rng = np.random.default_rng(0)
     feats_dtype = _os.environ.get("VLSA_TPU_BENCH_FEATS_DTYPE", "bfloat16")
-    x_scale = None
+    x_scale = x_inv = None
     feats_np = rng.normal(size=(B, N, D)).astype(np.float32)
     if feats_dtype == "int8":
-        from vlsa_tpu.data.pipeline import quantize_feats_int8
+        from vlsa_tpu.data.pipeline import feats_inv_norms, quantize_feats_int8
         q8, s8 = quantize_feats_int8(feats_np)
         feats = jnp.asarray(q8)
         x_scale = jnp.asarray(s8)
+        x_inv = jnp.asarray(feats_inv_norms(q8))
     else:
         feats = jnp.asarray(feats_np)
         if feats_dtype == "bfloat16":
+            from vlsa_tpu.data.pipeline import feats_inv_norms
             feats = feats.astype(jnp.bfloat16)
+            x_inv = jnp.asarray(feats_inv_norms(
+                np.asarray(feats).astype(np.float32)))
     del feats_np
     mask = jnp.ones((B, N), bool)
     t = jnp.asarray(rng.integers(0, K, size=B), jnp.int32)
@@ -165,16 +171,16 @@ def main():
     # remote device has finished under the tunnelled runtime, so every
     # timing below forces a scalar host transfer instead.
     params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e,
-                                        key, x_scale)
+                                        key, x_scale, x_inv)
     _ = float(loss)
-    out = infer_jit(params, feats, mask, loss * 0.0, x_scale)
+    out = infer_jit(params, feats, mask, loss * 0.0, x_scale, x_inv)
     _ = float(out.sum())
 
     # warm the scanned programs, then time (one dispatch per measurement)
     params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask,
-                                             t, e, key, x_scale=x_scale)
+                                             t, e, key, x_scale=x_scale, x_inv=x_inv)
     _ = float(loss)
-    _ = float(infer_scan_jit(params, feats, mask, x_scale=x_scale).sum())
+    _ = float(infer_scan_jit(params, feats, mask, x_scale=x_scale, x_inv=x_inv).sum())
 
     profile_dir = _os.environ.get("VLSA_TPU_BENCH_PROFILE")
     if profile_dir:
@@ -186,14 +192,15 @@ def main():
         t0 = time.perf_counter()
         params, opt_state, loss = train_scan_jit(params, opt_state, feats,
                                                  mask, t, e, key,
-                                                 x_scale=x_scale)
+                                                 x_scale=x_scale,
+                                                 x_inv=x_inv)
         _ = float(loss)   # forces completion of all SCAN_N chained steps
         t_train = min(t_train, (time.perf_counter() - t0) / SCAN_N)
 
     t_infer = float("inf")
     for _rep in range(2):
         t0 = time.perf_counter()
-        out = infer_scan_jit(params, feats, mask, x_scale=x_scale)
+        out = infer_scan_jit(params, feats, mask, x_scale=x_scale, x_inv=x_inv)
         _ = float(out.sum())
         t_infer = min(t_infer, (time.perf_counter() - t0) / SCAN_N)
 
@@ -207,7 +214,7 @@ def main():
                 {"params": params}, feats, mask,
                 text_features=tf + chain * 1e-30,
                 query=None if q is None else q + chain * 1e-30,
-                x_scale=x_scale)
+                x_scale=x_scale, x_inv=x_inv)
             return out[0, 0], out
         _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]

@@ -62,6 +62,13 @@ def test_batcher_emits_int8():
         assert b["feats_scale"].dtype == np.float32
         # padding rows carry zero scale
         assert (b["feats_scale"][~b["mask"]] == 0).all()
+        # host-precomputed 1/l2norm of the int values rides along
+        norms = np.linalg.norm(b["feats"].astype(np.float32), axis=-1)
+        got = b["feats_inv"]
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got[norms > 0], 1.0 / norms[norms > 0],
+                                   rtol=1e-6)
+        assert (got[norms == 0] == 0).all()
 
 
 def test_coattn_int8_kernel_parity():
@@ -73,7 +80,7 @@ def test_coattn_int8_kernel_parity():
         q, x_i, s, x_deq, mask = _quantized_bag(N=512)
         scale = jnp.float32(30.0)
         out_k = co._coattn_pool_tpu_nodx_q8(
-            jnp.asarray(q), jnp.asarray(x_i), jnp.asarray(s),
+            jnp.asarray(q), jnp.asarray(x_i), jnp.asarray(s), None,
             jnp.asarray(mask), scale)
         out_r = co.coattn_pool_reference(
             jnp.asarray(q), jnp.asarray(x_deq), jnp.asarray(mask), 30.0)
@@ -81,12 +88,58 @@ def test_coattn_int8_kernel_parity():
         assert rel < 1e-3, rel
 
         dq_k = jax.grad(lambda q_: jnp.sum(co._coattn_pool_tpu_nodx_q8(
-            q_, jnp.asarray(x_i), jnp.asarray(s), jnp.asarray(mask),
+            q_, jnp.asarray(x_i), jnp.asarray(s), None, jnp.asarray(mask),
             scale) ** 2))(jnp.asarray(q))
         dq_r = jax.grad(lambda q_: jnp.sum(co.coattn_pool_reference(
             q_, jnp.asarray(x_deq), jnp.asarray(mask), 30.0) ** 2))(jnp.asarray(q))
         rel = float(jnp.max(jnp.abs(dq_k - dq_r)) / jnp.max(jnp.abs(dq_r)))
         assert rel < 2e-3, rel
+
+        # host-precomputed inv norms: identical math, no in-kernel reduction
+        from vlsa_tpu.data.pipeline import feats_inv_norms
+        inv = jnp.asarray(feats_inv_norms(x_i))
+        out_ki = co._coattn_pool_tpu_nodx_q8(
+            jnp.asarray(q), jnp.asarray(x_i), jnp.asarray(s), inv,
+            jnp.asarray(mask), scale)
+        rel = float(jnp.max(jnp.abs(out_ki - out_r)) / jnp.max(jnp.abs(out_r)))
+        assert rel < 1e-3, rel
+        dq_ki = jax.grad(lambda q_: jnp.sum(co._coattn_pool_tpu_nodx_q8(
+            q_, jnp.asarray(x_i), jnp.asarray(s), inv, jnp.asarray(mask),
+            scale) ** 2))(jnp.asarray(q))
+        rel = float(jnp.max(jnp.abs(dq_ki - dq_r)) / jnp.max(jnp.abs(dq_r)))
+        assert rel < 2e-3, rel
+    finally:
+        co.INTERPRET = old
+
+
+def test_coattn_bf16_host_inv_norms():
+    """bf16 storage with host-precomputed 1/l2norms (feats_inv sidecar):
+    identical results to the in-kernel reduction path."""
+    old = co.INTERPRET
+    co.INTERPRET = True
+    try:
+        from vlsa_tpu.data.pipeline import feats_inv_norms
+        rng = np.random.default_rng(1)
+        B, N, C, P = 2, 512, 64, 5
+        q = jnp.asarray(rng.normal(size=(P, C)), jnp.float32)
+        xb = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32).astype(jnp.bfloat16)
+        mask = jnp.asarray(rng.random((B, N)) > 0.2)
+        inv = jnp.asarray(feats_inv_norms(np.asarray(xb).astype(np.float32)))
+        scale = jnp.float32(30.0)
+
+        out_plain = co.coattn_pool(q, xb, mask, scale, use_pallas=True,
+                                   x_stop_gradient=True)
+        out_inv = co.coattn_pool(q, xb, mask, scale, use_pallas=True,
+                                 x_stop_gradient=True, x_inv=inv)
+        np.testing.assert_allclose(np.asarray(out_inv), np.asarray(out_plain),
+                                   rtol=1e-5, atol=1e-6)
+        dq_plain = jax.grad(lambda q_: jnp.sum(co.coattn_pool(
+            q_, xb, mask, scale, use_pallas=True, x_stop_gradient=True) ** 2))(q)
+        dq_inv = jax.grad(lambda q_: jnp.sum(co.coattn_pool(
+            q_, xb, mask, scale, use_pallas=True, x_stop_gradient=True,
+            x_inv=inv) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(dq_inv), np.asarray(dq_plain),
+                                   rtol=1e-4, atol=1e-5)
     finally:
         co.INTERPRET = old
 

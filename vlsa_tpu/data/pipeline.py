@@ -44,6 +44,20 @@ def quantize_feats_int8(feats: np.ndarray):
     return q, scale
 
 
+def feats_inv_norms(q: np.ndarray) -> np.ndarray:
+    """Per-patch 1/l2norm of int8-quantized features `[.., N, D]` -> f32
+    `[.., N]` (0 for all-zero padding rows).
+
+    The normalised attention logits need 1/||x_int|| (scale-free); computing
+    it once on the host removes the kernels' only O(N*D) VPU reduction
+    (ops/coattn.py int8 path)."""
+    sq = np.einsum("...nd,...nd->...n", q.astype(np.float32),
+                   q.astype(np.float32))
+    with np.errstate(divide="ignore"):
+        inv = np.where(sq > 0, 1.0 / np.sqrt(sq), 0.0)
+    return inv.astype(np.float32)
+
+
 def _handle_overflow(n: int, target_n: int, overflow: str) -> None:
     if overflow == "error":
         raise BagOverflowError(
@@ -89,7 +103,8 @@ class BagBatcher:
                  max_bucket: Optional[int] = None, drop_last: bool = False,
                  prefetch: int = 2, fixed_bucket: Optional[int] = None,
                  feats_dtype: str = "float32", overflow: str = "error",
-                 num_shards: int = 1, shard_index: int = 0):
+                 num_shards: int = 1, shard_index: int = 0,
+                 precompute_inv: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -106,6 +121,9 @@ class BagBatcher:
         # policy when a bag exceeds the bucket: 'error' (default — the
         # reference never drops patches), 'warn', or 'truncate'
         self.overflow = overflow
+        # per-patch 1/l2norm rows for the fused kernels (one host pass per
+        # batch, overlapped with device compute by the prefetch thread)
+        self.precompute_inv = precompute_inv
         self.truncated_bags = 0
         self.truncated_patches = 0
         # multi-host data loading: this process materialises only its
@@ -129,15 +147,21 @@ class BagBatcher:
 
         'bfloat16' halves, 'int8' quarters the HBM stream of the coattn
         kernels vs f32 (int8 adds a per-patch `feats_scale` f32 row; see
-        quantize_feats_int8)."""
+        quantize_feats_int8).  Unless `precompute_inv` is off, a per-patch
+        `feats_inv` = 1/||x_stored|| f32 row rides along so the fused
+        kernels skip their only O(N*D) VPU reduction (ops/coattn.py)."""
         if self.feats_dtype == "float32":
             return
         if self.feats_dtype == "int8":
             batch["feats"], batch["feats_scale"] = quantize_feats_int8(batch["feats"])
+            if self.precompute_inv:
+                batch["feats_inv"] = feats_inv_norms(batch["feats"])
             return
         import ml_dtypes  # numpy bfloat16 support
         batch["feats"] = batch["feats"].astype(
             ml_dtypes.bfloat16 if self.feats_dtype == "bfloat16" else self.feats_dtype)
+        if self.precompute_inv:
+            batch["feats_inv"] = feats_inv_norms(batch["feats"])
 
     def _count_overflow(self, n: int, target_n: int) -> None:
         if n > target_n:

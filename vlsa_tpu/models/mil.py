@@ -162,13 +162,16 @@ class VLFAN(nn.Module):
 
     def __call__(self, X, mask=None, query: Optional[Array] = None,
                  ret_with_attn: bool = False, train: bool = False,
-                 x_scale: Optional[Array] = None):
-        if X.dtype == jnp.int8 and (self.use_feat_proj or self.sp_mesh is not None):
-            # int8 storage is only kernel-native on the frozen-feature fused
-            # path; anything that transforms X first works on dequantized bf16
-            from ..ops.coattn import dequantize_feats
-            X = dequantize_feats(X, x_scale).astype(jnp.bfloat16)
-            x_scale = None
+                 x_scale: Optional[Array] = None,
+                 x_inv: Optional[Array] = None):
+        if self.use_feat_proj or self.sp_mesh is not None:
+            # quantized/normed sidecars describe the STORED features; any
+            # transform of X first (projecter) or the shard_map pool (sp)
+            # invalidates them — dequantize int8 to bf16 and drop the rows
+            if X.dtype == jnp.int8:
+                from ..ops.coattn import dequantize_feats
+                X = dequantize_feats(X, x_scale).astype(jnp.bfloat16)
+            x_scale = x_inv = None
         if self.use_feat_proj:
             X = self.feat_proj(X)
         q_eff = self.effective_query(query)
@@ -183,7 +186,7 @@ class VLFAN(nn.Module):
             # constant so the backward runs the dQ-only kernel (no dX write)
             out = coattn_pool(q_eff, X, mask, scale,
                               x_stop_gradient=not self.use_feat_proj,
-                              x_scale=x_scale)  # [B, P, C]
+                              x_scale=x_scale, x_inv=x_inv)  # [B, P, C]
         pooled, pooled_ext = self.forward_query_pooling(out, train=train)
         feats = self.visual_adapter(pooled) if self.pred_head != "Identity" else pooled
         if ret_with_attn:

@@ -98,12 +98,14 @@ class VLSA(nn.Module):
     accepts_x_scale = True
 
     def encode_instances(self, X, mask=None, train: bool = False,
-                         ret_with_attn: bool = False, query=None, x_scale=None):
+                         ret_with_attn: bool = False, query=None, x_scale=None,
+                         x_inv=None):
         kwargs = {}
         if isinstance(self.mil_encoder, VLFAN) and self.mil_encoder.query == "Text":
             kwargs["query"] = self.get_query() if query is None else query
         if isinstance(self.mil_encoder, VLFAN):
             kwargs["x_scale"] = x_scale
+            kwargs["x_inv"] = x_inv
         elif x_scale is not None:
             # only VLFAN consumes int8 natively; dequantize for the rest
             from ..ops.coattn import dequantize_feats
@@ -113,7 +115,7 @@ class VLSA(nn.Module):
         return self.mil_encoder(X, mask, train=train, ret_with_attn=ret_with_attn, **kwargs)
 
     def __call__(self, X, mask=None, train: bool = False,
-                 text_features=None, query=None, x_scale=None):
+                 text_features=None, query=None, x_scale=None, x_inv=None):
         """X [B, N, D], mask [B, N] -> (logits [B, K], img_feats, text_feats).
 
         `text_features` / `query` override the text branch with values from
@@ -125,7 +127,7 @@ class VLSA(nn.Module):
         text_n = l2_normalize(text_features, axis=-1)        # [K, E]
 
         image_features = self.encode_instances(X, mask, train=train, query=query,
-                                               x_scale=x_scale)
+                                               x_scale=x_scale, x_inv=x_inv)
         scale = self.get_logit_scale()
 
         if image_features.ndim == 3:

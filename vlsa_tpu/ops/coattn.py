@@ -118,11 +118,54 @@ def _inv_norm_row(x):
     return inv.reshape(1, -1)                             # [1, bn]
 
 
-def _x_stream(x):
-    """MXU operand view of a stored patch block: int8 storage upcasts
-    in-VMEM to bf16 (the HBM stream is the int8 bytes — half of bf16;
-    the matmuls stay bf16).  bf16/f32 storage passes through."""
-    return x.astype(jnp.bfloat16) if x.dtype == jnp.int8 else x
+def _mm_rows_i8(*mats):
+    """Quantize small f32 M-side matrices into stacked int8 hi+lo rows for
+    ONE int8 MXU matmul against an int8 patch stream.
+
+    Per-matrix dynamic scale s = absmax/127:  t/s = hi + r  (hi = round,
+    r in [-.5, .5]),  lo = round(254*r)  =>  t ~= s*(hi + lo/254) to ~15
+    mantissa bits — the int8 twin of the bf16 hi/lo split (_mm_rows).  The
+    int8 MXU mode streams the [bn, C] operand at ~1.5x the bf16 rate
+    (measured on v5e, docs/PERF.md), and the int32 accumulation over C<=1024
+    is exact (|prod| <= 127^2 * C << 2^31).
+    Returns (stacked int8 [2*sum(M), C], per-matrix f32 scales)."""
+    parts, scales = [], []
+    for t in mats:
+        tf = t.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(tf)), 1e-30) * (1.0 / 127.0)
+        scaled = tf * (1.0 / s)
+        hi = jnp.round(scaled)
+        lo = jnp.round((scaled - hi) * 254.0)
+        parts.extend([hi.astype(jnp.int8), lo.astype(jnp.int8)])
+        scales.append(s)
+    return (jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0],
+            scales)
+
+
+def _mm_unstack_i8(prod, scales):
+    """Undo _mm_rows_i8 on the int32 product: per-matrix s*(hi + lo/254)."""
+    rows = prod.shape[0] // (2 * len(scales))
+    outs = []
+    for k, s in enumerate(scales):
+        base = 2 * k * rows
+        hi = prod[base:base + rows].astype(jnp.float32)
+        lo = prod[base + rows:base + 2 * rows].astype(jnp.float32)
+        outs.append(s * (hi + lo * (1.0 / 254.0)))
+    return outs
+
+
+def _stream_matmul(mats, x, transpose: bool):
+    """dot(stack(mats), x.T | x) against the patch stream in its STORAGE
+    dtype — int8 runs the native int8 MXU mode, bf16/f32 the hi/lo bf16
+    path.  Returns the per-matrix f32 products."""
+    operand = x.T if transpose else x
+    if x.dtype == jnp.int8:
+        stacked, scales = _mm_rows_i8(*mats)
+        prod = jnp.dot(stacked, operand, preferred_element_type=jnp.int32)
+        return _mm_unstack_i8(prod, scales)
+    stacked, np_ = _mm_rows(*mats, dtype=x.dtype)
+    prod = jnp.dot(stacked, operand, preferred_element_type=jnp.float32)
+    return _mm_unstack(prod, len(mats), np_)
 
 
 def _mm_rows(*mats, dtype):
@@ -158,8 +201,9 @@ def _mm_unstack(prod, n_mats, n_parts):
     return outs
 
 
-def _coattn_fwd_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
-                     stats_ref, m_scr, l_scr, acc_scr, *, n_blocks: int):
+def _coattn_fwd_body(q_ref, x_ref, xs_ref, xi_ref, mask_ref, scale_ref,
+                     out_ref, stats_ref, m_scr, l_scr, acc_scr, *,
+                     n_blocks: int):
     """Grid (B, nN); scratch persists across the sequential N dimension.
 
     The per-patch l2 norm is factored OUT of the matmuls
@@ -184,14 +228,15 @@ def _coattn_fwd_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[:]                      # [P, C] f32
-    x = _x_stream(x_ref[0])           # [bn, C] bf16 or f32 MXU operand
+    x = x_ref[0]                      # [bn, C] storage dtype (int8/bf16/f32)
     msk = mask_ref[0, 0]              # [bn]
     scale = scale_ref[0, 0]
 
-    inv_row = _inv_norm_row(x)                            # [1, bn]
-    qs, np_ = _mm_rows(q, dtype=x.dtype)
-    raw, = _mm_unstack(jnp.dot(qs, x.T, preferred_element_type=jnp.float32),
-                       1, np_)                            # [P, bn]
+    # host-precomputed 1/l2norm (int8 pipeline) skips the only O(bn*C)
+    # VPU reduction in the kernel
+    inv_row = (_inv_norm_row(x) if xi_ref is None
+               else xi_ref[0, 0][None, :])                # [1, bn]
+    raw, = _stream_matmul([q], x, transpose=True)         # [P, bn]
     logits = scale * raw * inv_row
     logits = jnp.where(msk[None, :] > 0, logits, -1e30)
 
@@ -203,9 +248,7 @@ def _coattn_fwd_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
     # int8: fold the dequant scale into the softmax weights so pv equals
     # A_block @ X_deq_block; `l` keeps accumulating the UNSCALED p
     pv_weights = p if xs_ref is None else p * xs_ref[0, 0][None, :]
-    ps, np_ = _mm_rows(pv_weights, dtype=x.dtype)
-    pv, = _mm_unstack(jnp.dot(ps, x, preferred_element_type=jnp.float32),
-                      1, np_)                             # [P, C]
+    pv, = _stream_matmul([pv_weights], x, transpose=False)  # [P, C]
     l_scr[:] = l_scr[:] * correction + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + pv
     m_scr[:] = m_new
@@ -222,14 +265,31 @@ def _coattn_fwd_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
 
 def _coattn_fwd_kernel(q_ref, x_ref, mask_ref, scale_ref, out_ref, stats_ref,
                        m_scr, l_scr, acc_scr, *, n_blocks: int):
-    _coattn_fwd_body(q_ref, x_ref, None, mask_ref, scale_ref, out_ref,
+    _coattn_fwd_body(q_ref, x_ref, None, None, mask_ref, scale_ref, out_ref,
                      stats_ref, m_scr, l_scr, acc_scr, n_blocks=n_blocks)
 
 
 def _coattn_fwd_kernel_q8(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
                           stats_ref, m_scr, l_scr, acc_scr, *, n_blocks: int):
-    _coattn_fwd_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, out_ref,
+    _coattn_fwd_body(q_ref, x_ref, xs_ref, None, mask_ref, scale_ref, out_ref,
                      stats_ref, m_scr, l_scr, acc_scr, n_blocks=n_blocks)
+
+
+def _coattn_fwd_kernel_q8i(q_ref, x_ref, xs_ref, xi_ref, mask_ref, scale_ref,
+                           out_ref, stats_ref, m_scr, l_scr, acc_scr, *,
+                           n_blocks: int):
+    _coattn_fwd_body(q_ref, x_ref, xs_ref, xi_ref, mask_ref, scale_ref,
+                     out_ref, stats_ref, m_scr, l_scr, acc_scr,
+                     n_blocks=n_blocks)
+
+
+def _coattn_fwd_kernel_i(q_ref, x_ref, xi_ref, mask_ref, scale_ref,
+                         out_ref, stats_ref, m_scr, l_scr, acc_scr, *,
+                         n_blocks: int):
+    """bf16/f32 storage with host-precomputed 1/l2norms (no dequant scale)."""
+    _coattn_fwd_body(q_ref, x_ref, None, xi_ref, mask_ref, scale_ref,
+                     out_ref, stats_ref, m_scr, l_scr, acc_scr,
+                     n_blocks=n_blocks)
 
 
 def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
@@ -294,8 +354,9 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
         dq_ref[:] = dq_scr[:]
 
 
-def _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
-                        out_ref, stats_ref, dq_ref, dq_scr, *, n_blocks: int):
+def _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, xi_ref, mask_ref, scale_ref,
+                        g_ref, out_ref, stats_ref, dq_ref, dq_scr, *,
+                        n_blocks: int):
     """dQ-only backward: for models where the patch features are constants
     (no feat projecter / instance adapter upstream), the dX pass is dead
     work — this kernel skips the [B, N, C] cotangent entirely (one fewer
@@ -314,7 +375,7 @@ def _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     q = q_ref[:]                      # [P, C] f32
-    x = _x_stream(x_ref[0])           # [bn, C] bf16 or f32 MXU operand
+    x = x_ref[0]                      # [bn, C] storage dtype (int8/bf16/f32)
     msk = mask_ref[0, 0]
     scale = scale_ref[0, 0]
     g = g_ref[0]                      # [P, C] f32
@@ -322,11 +383,10 @@ def _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
     m = stats_ref[0][:, 0:1]
     l = stats_ref[0][:, 1:2]
 
-    inv_row = _inv_norm_row(x)                            # [1, bn]
+    inv_row = (_inv_norm_row(x) if xi_ref is None
+               else xi_ref[0, 0][None, :])                # [1, bn]
     # stacked matmul: logits dot + dA share one x.T stream (see bwd kernel)
-    qg, np_ = _mm_rows(q, g, dtype=x.dtype)
-    both = jnp.dot(qg, x.T, preferred_element_type=jnp.float32)
-    raw, da = _mm_unstack(both, 2, np_)                   # [P, bn] each
+    raw, da = _stream_matmul([q, g], x, transpose=True)   # [P, bn] each
     if xs_ref is not None:
         da = da * xs_ref[0, 0][None, :]                   # g . x_deq
     logits = scale * raw * inv_row
@@ -337,9 +397,7 @@ def _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
     s_row = jnp.sum(g * out, axis=-1, keepdims=True)
     dl_inv = (a * (da - s_row)) * inv_row                 # dlogits * inv[n]
 
-    dls, np_ = _mm_rows(dl_inv, dtype=x.dtype)
-    dqc, = _mm_unstack(jnp.dot(dls, x, preferred_element_type=jnp.float32),
-                       1, np_)
+    dqc, = _stream_matmul([dl_inv], x, transpose=False)
     dq_scr[:] = dq_scr[:] + scale * dqc
 
     @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
@@ -349,15 +407,32 @@ def _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
 
 def _coattn_bwd_dq_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
                           stats_ref, dq_ref, dq_scr, *, n_blocks: int):
-    _coattn_bwd_dq_body(q_ref, x_ref, None, mask_ref, scale_ref, g_ref,
+    _coattn_bwd_dq_body(q_ref, x_ref, None, None, mask_ref, scale_ref, g_ref,
                         out_ref, stats_ref, dq_ref, dq_scr, n_blocks=n_blocks)
 
 
 def _coattn_bwd_dq_kernel_q8(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
                              out_ref, stats_ref, dq_ref, dq_scr, *,
                              n_blocks: int):
-    _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, mask_ref, scale_ref, g_ref,
-                        out_ref, stats_ref, dq_ref, dq_scr, n_blocks=n_blocks)
+    _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, None, mask_ref, scale_ref,
+                        g_ref, out_ref, stats_ref, dq_ref, dq_scr,
+                        n_blocks=n_blocks)
+
+
+def _coattn_bwd_dq_kernel_q8i(q_ref, x_ref, xs_ref, xi_ref, mask_ref,
+                              scale_ref, g_ref, out_ref, stats_ref, dq_ref,
+                              dq_scr, *, n_blocks: int):
+    _coattn_bwd_dq_body(q_ref, x_ref, xs_ref, xi_ref, mask_ref, scale_ref,
+                        g_ref, out_ref, stats_ref, dq_ref, dq_scr,
+                        n_blocks=n_blocks)
+
+
+def _coattn_bwd_dq_kernel_i(q_ref, x_ref, xi_ref, mask_ref, scale_ref, g_ref,
+                            out_ref, stats_ref, dq_ref, dq_scr, *,
+                            n_blocks: int):
+    _coattn_bwd_dq_body(q_ref, x_ref, None, xi_ref, mask_ref, scale_ref,
+                        g_ref, out_ref, stats_ref, dq_ref, dq_scr,
+                        n_blocks=n_blocks)
 
 
 def _pad_q(q):
@@ -369,7 +444,8 @@ def _pad_q(q):
 
 
 def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array,
-                       x_scale: Optional[Array] = None):
+                       x_scale: Optional[Array] = None,
+                       x_inv: Optional[Array] = None):
     B, N, C = x.shape
     block_n = _pick_block(N)
     assert block_n is not None, f"bag length {N} has no 128-aligned tile"
@@ -380,13 +456,22 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array,
                            memory_space=pltpu.VMEM)
     row_block = pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i),
                              memory_space=pltpu.VMEM)
-    if x_scale is None:
+    if x_scale is None and x_inv is None:
         kernel = functools.partial(_coattn_fwd_kernel, n_blocks=n_blocks)
         xs_specs, xs_args = [], ()
-    else:
+    elif x_scale is None:
+        kernel = functools.partial(_coattn_fwd_kernel_i, n_blocks=n_blocks)
+        xs_specs = [row_block]
+        xs_args = (x_inv.astype(jnp.float32)[:, None, :],)
+    elif x_inv is None:
         kernel = functools.partial(_coattn_fwd_kernel_q8, n_blocks=n_blocks)
         xs_specs = [row_block]
         xs_args = (x_scale.astype(jnp.float32)[:, None, :],)
+    else:
+        kernel = functools.partial(_coattn_fwd_kernel_q8i, n_blocks=n_blocks)
+        xs_specs = [row_block, row_block]
+        xs_args = (x_scale.astype(jnp.float32)[:, None, :],
+                   x_inv.astype(jnp.float32)[:, None, :])
     out, stats = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
@@ -465,7 +550,8 @@ def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
 
 
 def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats,
-                          x_scale: Optional[Array] = None):
+                          x_scale: Optional[Array] = None,
+                          x_inv: Optional[Array] = None):
     B, N, C = x.shape
     block_n = _pick_block(N)
     n_blocks = N // block_n
@@ -475,13 +561,23 @@ def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats,
                            memory_space=pltpu.VMEM)
     row_block = pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i),
                              memory_space=pltpu.VMEM)
-    if x_scale is None:
+    if x_scale is None and x_inv is None:
         kernel = functools.partial(_coattn_bwd_dq_kernel, n_blocks=n_blocks)
         xs_specs, xs_args = [], ()
-    else:
+    elif x_scale is None:
+        kernel = functools.partial(_coattn_bwd_dq_kernel_i, n_blocks=n_blocks)
+        xs_specs = [row_block]
+        xs_args = (x_inv.astype(jnp.float32)[:, None, :],)
+    elif x_inv is None:
         kernel = functools.partial(_coattn_bwd_dq_kernel_q8, n_blocks=n_blocks)
         xs_specs = [row_block]
         xs_args = (x_scale.astype(jnp.float32)[:, None, :],)
+    else:
+        kernel = functools.partial(_coattn_bwd_dq_kernel_q8i,
+                                   n_blocks=n_blocks)
+        xs_specs = [row_block, row_block]
+        xs_args = (x_scale.astype(jnp.float32)[:, None, :],
+                   x_inv.astype(jnp.float32)[:, None, :])
     dq = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
@@ -555,27 +651,33 @@ _coattn_pool_tpu_nodx.defvjp(_coattn_fwd_rule, _coattn_nodx_bwd_rule)
 
 
 @jax.custom_vjp
-def _coattn_pool_tpu_nodx_q8(q, x, x_scale, mask, scale):
-    """int8-feature variant: x [B, N, C] int8, x_scale [B, N] per-patch
-    dequant scales.  Features are constants (dQ-only backward)."""
-    out, _stats, P, _P_pad = _coattn_pallas_fwd(q, x, mask, scale, x_scale)
+def _coattn_pool_tpu_nodx_q8(q, x, x_scale, x_inv, mask, scale):
+    """Extended constant-features variant (dQ-only backward):
+    * x int8 + x_scale [B, N] per-patch dequant scales (feats_dtype: int8),
+    * x_inv [B, N] host-precomputed 1/||x_stored|| (int8 OR bf16 storage) —
+      skips the kernels' only O(N*C) VPU reduction; None = reduce in-kernel.
+    """
+    out, _stats, P, _P_pad = _coattn_pallas_fwd(q, x, mask, scale,
+                                                x_scale, x_inv)
     return out[:, :P, :]
 
 
-def _coattn_q8_fwd_rule(q, x, x_scale, mask, scale):
-    out, stats, P, P_pad = _coattn_pallas_fwd(q, x, mask, scale, x_scale)
+def _coattn_q8_fwd_rule(q, x, x_scale, x_inv, mask, scale):
+    out, stats, P, P_pad = _coattn_pallas_fwd(q, x, mask, scale,
+                                              x_scale, x_inv)
     q_pad, _, _ = _pad_q(q)
-    return out[:, :P, :], (q_pad, x, x_scale, mask, scale, out, stats, P)
+    return out[:, :P, :], (q_pad, x, x_scale, x_inv, mask, scale, out,
+                           stats, P)
 
 
 def _coattn_q8_bwd_rule(res, g):
-    q_pad, x, x_scale, mask, scale, out_pad, stats, P = res
+    q_pad, x, x_scale, x_inv, mask, scale, out_pad, stats, P = res
     P_pad = q_pad.shape[0]
     g_pad = jnp.pad(g, ((0, 0), (0, P_pad - P), (0, 0))) if P_pad != P else g
     dq = _coattn_pallas_bwd_dq(q_pad.astype(jnp.float32), x, mask, scale,
                                g_pad.astype(jnp.float32), out_pad, stats,
-                               x_scale)
-    return dq[:P], None, None, None, None
+                               x_scale, x_inv)
+    return dq[:P], None, None, None, None, None
 
 
 _coattn_pool_tpu_nodx_q8.defvjp(_coattn_q8_fwd_rule, _coattn_q8_bwd_rule)
@@ -584,7 +686,8 @@ _coattn_pool_tpu_nodx_q8.defvjp(_coattn_q8_fwd_rule, _coattn_q8_bwd_rule)
 def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
                 use_pallas: Optional[bool] = None,
                 x_stop_gradient: bool = False,
-                x_scale: Optional[Array] = None) -> Array:
+                x_scale: Optional[Array] = None,
+                x_inv: Optional[Array] = None) -> Array:
     """Fused masked cross-attention pooling.
 
     q [P, C] effective queries (already l2-normalised and gate-combined),
@@ -597,9 +700,12 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
     feat projecter, the common production config).
 
     int8 storage (`feats_dtype: int8`): x int8 with per-patch dequant
-    scales `x_scale` [B, N] — halves the kernels' HBM stream again vs bf16.
-    Only valid with `x_stop_gradient=True` (quantized features are
-    constants by construction).
+    scales `x_scale` [B, N] — halves the kernels' HBM stream again vs bf16
+    and runs the MXU's native int8 mode.  `x_inv` [B, N] optionally carries
+    host-precomputed 1/||x_int|| (data/pipeline.py::feats_inv_norms),
+    removing the kernels' only O(N*C) VPU reduction.  Only valid with
+    `x_stop_gradient=True` (quantized features are constants by
+    construction).
 
     Note: `scale` is treated as a constant in the Pallas path (the VLFAN
     co-attention scale is a frozen buffer, ref deepmil.py:121-126).
@@ -618,8 +724,13 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
     if use_pallas:
         scale = jnp.asarray(scale, jnp.float32)
         if x.dtype == jnp.int8:
-            return _coattn_pool_tpu_nodx_q8(q, x, x_scale, mask, scale)
+            return _coattn_pool_tpu_nodx_q8(q, x, x_scale, x_inv, mask, scale)
         if x_stop_gradient:
+            if x_inv is not None:
+                # bf16/f32 storage with host-precomputed norms (pipeline
+                # feats_inv): same math, no in-kernel O(N*C) reduction
+                return _coattn_pool_tpu_nodx_q8(
+                    q, jax.lax.stop_gradient(x), None, x_inv, mask, scale)
             return _coattn_pool_tpu_nodx(q, jax.lax.stop_gradient(x), mask, scale)
         return _coattn_pool_tpu(q, x, mask, scale)
     if x_stop_gradient:

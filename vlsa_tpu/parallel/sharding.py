@@ -62,6 +62,7 @@ def batch_pspec(seq_parallel: bool = False) -> dict:
     return {
         "feats": P("data", n_axis, None),
         "feats_scale": P("data", n_axis),
+        "feats_inv": P("data", n_axis),
         "mask": P("data", n_axis),
         "cluster_id": P("data", n_axis),
         # graph edge lists index into the *global* patch axis: replicate E

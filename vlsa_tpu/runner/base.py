@@ -426,8 +426,8 @@ class BaseHandler:
         all_raw, all_gt, all_idx = [], [], []
         for batch in batcher:
             jb = {k: v for k, v in batch.items()
-                  if k in ("feats", "feats_scale", "mask", "cluster_id",
-                           "edge_index", "edge_valid")}
+                  if k in ("feats", "feats_scale", "feats_inv", "mask",
+                           "cluster_id", "edge_index", "edge_valid")}
             # mesh runs shard the eval batch too (multi-host: assembles the
             # global arrays from this host's slice); single-device: as-is
             jb = (self.engine.shard_batch(jb) if self.engine.mesh is not None

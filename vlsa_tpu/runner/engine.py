@@ -25,16 +25,22 @@ from ..parallel import batch_pspec, make_mesh, param_shardings  # noqa: F401
 
 
 def _feats_inputs(model, batch: dict):
-    """(feats, extra kwargs) for a model apply, handling int8 storage:
-    models that understand per-patch dequant scales (VLSA -> VLFAN fused
-    kernels) get `x_scale`; anything else sees dequantized bf16 features."""
-    if "feats_scale" not in batch:
-        return batch["feats"], {}
-    if getattr(model, "accepts_x_scale", False):
-        return batch["feats"], {"x_scale": batch["feats_scale"]}
-    from ..ops.coattn import dequantize_feats
-    feats = dequantize_feats(batch["feats"], batch["feats_scale"])
-    return feats.astype(jnp.bfloat16), {}
+    """(feats, extra kwargs) for a model apply, handling the storage-dtype
+    sidecar rows: models that understand them (VLSA -> VLFAN fused kernels)
+    get `x_scale` (int8 dequant) / `x_inv` (precomputed 1/l2norm); anything
+    else sees dequantized bf16 features and no sidecars."""
+    accepts = getattr(model, "accepts_x_scale", False)
+    if "feats_scale" in batch and not accepts:
+        from ..ops.coattn import dequantize_feats
+        feats = dequantize_feats(batch["feats"], batch["feats_scale"])
+        return feats.astype(jnp.bfloat16), {}
+    kws = {}
+    if accepts:
+        if "feats_scale" in batch:
+            kws["x_scale"] = batch["feats_scale"]
+        if "feats_inv" in batch:
+            kws["x_inv"] = batch["feats_inv"]
+    return batch["feats"], kws
 
 
 def make_output_converter(name: Optional[str]) -> Callable:
