@@ -71,6 +71,58 @@ def test_batcher_emits_int8():
         assert (got[norms == 0] == 0).all()
 
 
+def test_q8npz_store_roundtrip(tmp_path):
+    """convert --dtype int8 -> .q8npz store -> dataset -> batcher: int8
+    batches with on-disk sidecars, no per-epoch host quantization; metrics
+    vs an f32-store run agree to quantization tolerance."""
+    from vlsa_tpu.data import (
+        BagBatcher, MetaSurvData, SurvBagDataset, read_file_data_splitting)
+    from vlsa_tpu.data.convert import convert_dir
+    from vlsa_tpu.data.io import read_quantized_feats, synthetic_bag
+
+    split = read_file_data_splitting(
+        "assets/data_split/5foldcv/tcga_blca/splits_0.csv")
+    meta = MetaSurvData(
+        "assets/data_split/5foldcv/tcga_blca/mahmoodlab_tcga_blca_survival.csv",
+        data_split=split, verbose=False)
+    meta.generate_discrete_label(num_bins=None, use_quantiles=False)
+    pids = split["train"][:4]
+    # materialise an f32 .npy store from synthetic bags, then convert
+    src = tmp_path / "npy"
+    src.mkdir()
+    sids = [s for p in pids
+            for s in meta.collect_info_by_pids(pids)[1][p]]
+    for sid in sids:
+        np.save(src / f"{sid}.npy", synthetic_bag(sid, "synthetic://N=100,D=16,seed=5"))
+    dst = tmp_path / "q8"
+    n = convert_dir(str(src), str(dst), dtype="int8", verbose=False)
+    assert n == len(sids)
+
+    qf = read_quantized_feats(str(dst / f"{sids[0]}.q8npz"))
+    ref = np.load(src / f"{sids[0]}.npy")
+    assert qf.q.dtype == np.int8
+    np.testing.assert_allclose(qf.dequantize(), ref, atol=np.max(np.abs(ref)) / 120)
+    np.testing.assert_allclose(
+        qf.inv, 1.0 / np.linalg.norm(qf.q.astype(np.float32), axis=-1), rtol=1e-6)
+
+    ds = SurvBagDataset(pids, str(dst), "patch", meta, read_format="q8npz")
+    batcher = BagBatcher(ds, batch_size=2, min_bucket=64, feats_dtype="int8")
+    saw = 0
+    for b in batcher:
+        saw += 1
+        assert b["feats"].dtype == np.int8
+        assert (b["feats_scale"][~b["mask"]] == 0).all()
+        assert (b["feats_inv"][b["mask"]] > 0).all()
+    assert saw == 2
+
+    # a bf16 compute request on the same store dequantizes transparently
+    batcher_bf = BagBatcher(ds, batch_size=2, min_bucket=64,
+                            feats_dtype="bfloat16")
+    b = next(iter(batcher_bf))
+    import ml_dtypes
+    assert b["feats"].dtype == ml_dtypes.bfloat16
+
+
 def test_coattn_int8_kernel_parity():
     """Fused int8 kernels (interpret mode) vs the f32 reference on the SAME
     dequantized data: fwd and dQ-only backward."""

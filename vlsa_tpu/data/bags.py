@@ -15,7 +15,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from .io import SYNTHETIC_PREFIX, read_patch_data, synthetic_bag
+from .io import (SYNTHETIC_PREFIX, QuantizedFeats, read_patch_data,
+                 read_quantized_feats, synthetic_bag)
 from .label_converter import MetaSurvData, calculate_uncensored_time_bins
 
 
@@ -42,6 +43,7 @@ class SurvBagDataset:
 
     def _load_feats(self, sids) -> np.ndarray:
         feats = []
+        quantized = self.read_format == "q8npz"
         for sid in sids:
             if str(self.read_path).startswith(SYNTHETIC_PREFIX):
                 feats.append(synthetic_bag(sid, self.read_path))
@@ -50,7 +52,14 @@ class SurvBagDataset:
             if not osp.exists(full_path):
                 print(f"[SurvBagDataset] warning: not found slide {sid}.")
                 continue
-            feats.append(read_patch_data(full_path).astype(np.float32))
+            if quantized:
+                # pre-quantized int8 store: int8 + per-patch sidecars flow to
+                # the batcher as-is (no host dequant/quant per epoch)
+                feats.append(read_quantized_feats(full_path))
+            else:
+                feats.append(read_patch_data(full_path).astype(np.float32))
+        if feats and isinstance(feats[0], QuantizedFeats):
+            return QuantizedFeats.concatenate(feats)
         return np.concatenate(feats, axis=0)
 
     def _slide_len(self, sid: str) -> int:
@@ -66,6 +75,8 @@ class SurvBagDataset:
                     return read_npy_info(full_path)[0]
             except Exception:
                 pass
+        if self.read_format == "q8npz":
+            return np.load(full_path)["scale"].shape[0]
         return read_patch_data(full_path).shape[0]
 
     def bag_paths(self, index: int):

@@ -28,21 +28,37 @@ import numpy as np
 from .io import read_patch_data
 
 
-def convert_dir(src: str, dst: str, f16: bool = False, verbose: bool = True):
+def convert_dir(src: str, dst: str, f16: bool = False, verbose: bool = True,
+                dtype: str = None):
+    """Feature-store conversion.  dtype:
+      * None/'f32'/'f16' -> `{sid}.npy` (native-loader readable),
+      * 'int8' -> `{sid}.q8npz` pre-quantized store {q int8 [N,D],
+        scale f32 [N], inv f32 [N]} — per-patch symmetric quantization +
+        1/l2norm sidecars computed ONCE here, so the training pipeline does
+        no per-epoch host quantization (data/pipeline.py fast path; set
+        `feat_format: q8npz`, `feats_dtype: int8`)."""
+    from .pipeline import feats_inv_norms, quantize_feats_int8
     os.makedirs(dst, exist_ok=True)
     n = 0
     for fname in sorted(os.listdir(src)):
         stem, ext = osp.splitext(fname)
         if ext not in (".pt", ".h5", ".npy"):
             continue
-        arr = read_patch_data(osp.join(src, fname)).astype(
-            np.float16 if f16 else np.float32)
-        np.save(osp.join(dst, stem + ".npy"), arr)
+        arr = read_patch_data(osp.join(src, fname))
+        if dtype == "int8":
+            q, scale = quantize_feats_int8(arr.astype(np.float32))
+            inv = feats_inv_norms(q)
+            # write through a file object: exact `{stem}.q8npz` name
+            with open(osp.join(dst, stem + ".q8npz"), "wb") as f:
+                np.savez(f, q=q, scale=scale, inv=inv)
+        else:
+            np.save(osp.join(dst, stem + ".npy"),
+                    arr.astype(np.float16 if (f16 or dtype == "f16") else np.float32))
         n += 1
         if verbose and n % 100 == 0:
             print(f"[convert] {n} files...")
     if verbose:
-        print(f"[convert] wrote {n} .npy files to {dst}")
+        print(f"[convert] wrote {n} feature files to {dst}")
     return n
 
 
@@ -141,10 +157,13 @@ if __name__ == "__main__":
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--f16", action="store_true", help="store as float16")
+    ap.add_argument("--dtype", choices=["f32", "f16", "int8"], default=None,
+                    help="int8 = pre-quantized .q8npz store with per-patch "
+                         "scale + 1/l2norm sidecars")
     ap.add_argument("--graphs", action="store_true",
                     help="convert torch_geometric .pt graphs instead of features")
     args = ap.parse_args()
     if args.graphs:
         convert_graph_dir(args.src, args.dst)
     else:
-        convert_dir(args.src, args.dst, f16=args.f16)
+        convert_dir(args.src, args.dst, f16=args.f16, dtype=args.dtype)

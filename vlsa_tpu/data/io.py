@@ -41,10 +41,49 @@ def synthetic_bag(uid: str, path: str) -> np.ndarray:
     return rng.normal(size=(n, p["D"])).astype(np.float32)
 
 
+class QuantizedFeats:
+    """Pre-quantized int8 patch features with per-patch sidecars.
+
+    Produced by `data.convert --dtype int8` stores (`{sid}.q8npz`): `q` int8
+    [N, D], `scale` f32 [N] (dequant), `inv` f32 [N] (1/||q||).  The batcher
+    assembles these directly into int8 device batches — no per-epoch host
+    quantization or norm pass (data/pipeline.py), a quarter of f32's disk
+    and HBM bytes.  No reference counterpart (the reference streams f32
+    torch tensors, ref utils/io.py:16-42)."""
+
+    __slots__ = ("q", "scale", "inv")
+
+    def __init__(self, q: np.ndarray, scale: np.ndarray, inv: np.ndarray):
+        self.q = q
+        self.scale = scale
+        self.inv = inv
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequantize(self) -> np.ndarray:
+        return self.q.astype(np.float32) * self.scale[..., None]
+
+    @staticmethod
+    def concatenate(parts: "list[QuantizedFeats]") -> "QuantizedFeats":
+        return QuantizedFeats(
+            np.concatenate([p.q for p in parts], axis=0),
+            np.concatenate([p.scale for p in parts], axis=0),
+            np.concatenate([p.inv for p in parts], axis=0))
+
+
+def read_quantized_feats(path: str) -> QuantizedFeats:
+    z = np.load(path)
+    return QuantizedFeats(z["q"], z["scale"], z["inv"])
+
+
 def read_patch_data(path: str, dtype: str = "numpy", key: str = "features") -> np.ndarray:
     """Read one slide's patch features (ref utils/io.py:16-42)."""
     assert dtype in ("numpy",), "TPU pipeline is numpy-only"
     ext = osp.splitext(path)[1]
+    if ext == ".q8npz":
+        return read_quantized_feats(path).dequantize()
     if ext == ".h5":
         import h5py
         with h5py.File(path, "r") as hf:

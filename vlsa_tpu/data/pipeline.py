@@ -215,7 +215,16 @@ class BagBatcher:
             target_n = bucket_length(max_n, self.min_bucket, self.max_bucket)
         B = self._local_bs
         D = feats_list[0].shape[1]
-        feats = np.zeros((B, target_n, D), np.float32)
+        from .io import QuantizedFeats
+        quantized = isinstance(feats_list[0], QuantizedFeats)
+        if quantized and self.feats_dtype != "int8":
+            # pre-quantized store but a different compute dtype requested
+            feats_list = [f.dequantize() for f in feats_list]
+            quantized = False
+        feats = np.zeros((B, target_n, D), np.int8 if quantized else np.float32)
+        if quantized:
+            fscale = np.zeros((B, target_n), np.float32)
+            finv = np.zeros((B, target_n), np.float32)
         mask = np.zeros((B, target_n), np.bool_)
         t = np.zeros(B, np.float32)
         e = np.zeros(B, np.float32)
@@ -224,7 +233,16 @@ class BagBatcher:
         cluster = np.zeros((B, target_n), np.int32) if has_cluster else None
         for j, (f, it) in enumerate(zip(feats_list, items)):
             self._count_overflow(f.shape[0], target_n)
-            feats[j], mask[j] = pad_bag(f, target_n, overflow="truncate")
+            if quantized:
+                # sidecars pad with zeros alongside the int8 values — no
+                # per-epoch host quantization or norm pass
+                n = min(f.shape[0], target_n)
+                feats[j, :n] = f.q[:n]
+                fscale[j, :n] = f.scale[:n]
+                finv[j, :n] = f.inv[:n]
+                mask[j, :n] = True
+            else:
+                feats[j], mask[j] = pad_bag(f, target_n, overflow="truncate")
             if has_cluster:
                 cid = np.asarray(it[1][1], np.int32)
                 n = min(len(cid), target_n)
@@ -233,7 +251,11 @@ class BagBatcher:
             idx[j] = int(indices[j])
             valid[j] = True
         batch = {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
-        self._cast_feats(batch)
+        if quantized:
+            batch["feats_scale"] = fscale
+            batch["feats_inv"] = finv
+        else:
+            self._cast_feats(batch)
         if has_cluster:
             batch["cluster_id"] = cluster
         if has_graph:
