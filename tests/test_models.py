@@ -276,6 +276,47 @@ def test_abmil_fused_kernel_interpret():
         ab.INTERPRET = old
 
 
+def test_abmil_bf16_storage_accuracy():
+    """bf16-stored features stream natively through the fused ABMIL kernels
+    (hi+lo w1/operand splits): kernel vs f32-compute reference on the SAME
+    bf16-rounded data stays ~1e-3, fwd and all grads."""
+    import vlsa_tpu.ops.abmil as ab
+    old = ab.INTERPRET
+    ab.INTERPRET = True
+    try:
+        rng = np.random.default_rng(2)
+        B, N, D, H = 2, 512, 32, 16
+        xb = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        x32 = xb.astype(jnp.float32)
+        mask = jnp.asarray(np.concatenate(
+            [np.ones((B, N - 64)), np.zeros((B, 64))], 1).astype(bool))
+        w1 = jnp.asarray(rng.normal(size=(H, D)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.1)
+
+        got = ab._abmil_pool_tpu(xb, mask, w1, b1, w2)
+        ref, _ = ab.abmil_pool_reference(x32, mask, w1, b1, w2, 0.0)
+        rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 1e-3, rel
+
+        def loss_k(w1_, x_):
+            return jnp.sum(ab._abmil_pool_tpu(x_, mask, w1_, b1, w2) ** 2)
+
+        def loss_r(w1_, x_):
+            return jnp.sum(ab.abmil_pool_reference(x_, mask, w1_, b1, w2, 0.0)[0] ** 2)
+
+        (dw1_k, dx_k) = jax.grad(loss_k, argnums=(0, 1))(w1, xb)
+        (dw1_r, dx_r) = jax.grad(loss_r, argnums=(0, 1))(w1, x32)
+        rel = float(jnp.max(jnp.abs(dw1_k - dw1_r)) / jnp.max(jnp.abs(dw1_r)))
+        assert rel < 2e-3, rel
+        rel = float(jnp.max(jnp.abs(dx_k.astype(jnp.float32) - dx_r))
+                    / jnp.max(jnp.abs(dx_r)))
+        assert rel < 2e-2, rel  # dX written in bf16 + single-rounded w1
+    finally:
+        ab.INTERPRET = old
+
+
 def test_coattn_nodx_kernel_grads():
     """dQ-only backward (x declared constant) matches the full kernel's dQ
     and the XLA reference; dX is exactly zero."""

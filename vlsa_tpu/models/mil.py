@@ -214,7 +214,13 @@ class DeepMIL(nn.Module):
         assert self.pooling in ("mean", "max", "attention", "gated_attention")
         assert self.pred_head in ("default", "Adapter")
         if self.use_feat_proj:
+            in_dtype = X.dtype
             X = FeatProjecter(self.dim_in, name="feat_proj")(X)
+            if in_dtype == jnp.bfloat16:
+                # bf16 feature storage opts into mixed precision: keep the
+                # projected activations bf16 so the fused ABMIL kernels
+                # stream the MXU's native dtype (ops/abmil._h_matmul)
+                X = X.astype(jnp.bfloat16)
         raw_attn = None
         if self.pooling == "mean":
             out_feat = masked_mean(X, mask, axis=1)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .coattn import _mm_rows, _mm_unstack
 from .masked import masked_softmax
 
 try:
@@ -49,6 +50,35 @@ def pick_block(N: int):
 INTERPRET = False
 
 
+def _h_matmul(x, w1):
+    """h_pre [bn, hid] = x @ w1.T with x in its STORAGE dtype.
+
+    bf16 storage streams x natively through the MXU (the f32 upcast path
+    runs the MXU's multi-pass f32 mode, ~3x slower); w1 splits into hi+lo
+    bf16 column blocks (~f32 accuracy, same trick as ops/coattn._mm_rows)."""
+    if x.dtype == jnp.float32:
+        return jnp.dot(x, w1.T, preferred_element_type=jnp.float32)
+    parts, np_ = _mm_rows(w1, dtype=x.dtype)        # [np*hid, D]
+    prod = jnp.dot(x, parts.T, preferred_element_type=jnp.float32)
+    if np_ == 2:
+        hid = w1.shape[0]
+        return prod[:, :hid] + prod[:, hid:]
+    return prod
+
+
+def _dz_w1_matmul(dz, w1, dtype):
+    """dx contribution dz @ w1 with the contraction in `dtype`: dz splits
+    into hi+lo bf16 COLUMN halves against a single-rounded bf16 w1."""
+    if dtype == jnp.float32:
+        return jnp.dot(dz, w1, preferred_element_type=jnp.float32)
+    hi = dz.astype(jnp.bfloat16)
+    lo = (dz - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w1b = w1.astype(jnp.bfloat16)
+    return jnp.dot(jnp.concatenate([hi, lo], axis=1),
+                   jnp.concatenate([w1b, w1b], axis=0),
+                   preferred_element_type=jnp.float32)
+
+
 def abmil_pool_reference(x, mask, w1, b1, w2, b2):
     """x [B,N,D]; w1 [hid,D]; b1 [hid]; w2 [hid]; b2 scalar -> (out [B,D], raw [B,N])."""
     h = jnp.tanh(jnp.einsum("bnd,hd->bnh", x, w1) + b1)
@@ -67,13 +97,13 @@ def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref, stats_ref,
         l_scr[0, 0] = 0.0
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    x = x_ref[0].astype(jnp.float32)      # [bn, D]
+    x = x_ref[0]                          # [bn, D] storage dtype (bf16/f32)
     msk = mask_ref[0, 0]                  # [bn]
     w1 = w1_ref[:]                        # [hid, D]
     b1 = b1_ref[0]                        # [hid] (stored [1, hid])
     w2 = w2_ref[0]                        # [hid]
 
-    h = jnp.tanh(jnp.dot(x, w1.T, preferred_element_type=jnp.float32) + b1[None, :])
+    h = jnp.tanh(_h_matmul(x, w1) + b1[None, :])
     logits = jnp.sum(h * w2[None, :], axis=-1)           # [bn] (b2 cancels in softmax)
     logits = jnp.where(msk > 0, logits, -1e30)
 
@@ -83,8 +113,10 @@ def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref, stats_ref,
     p = jnp.exp(logits - m_new)
     p = jnp.where(msk > 0, p, 0.0)
     l_scr[0, 0] = l_scr[0, 0] * corr + jnp.sum(p)
-    acc_scr[:] = acc_scr[:] * corr + jnp.dot(
-        p[None, :], x, preferred_element_type=jnp.float32)  # [1, D]
+    ps, np_ = _mm_rows(p[None, :], dtype=x.dtype)
+    pv, = _mm_unstack(jnp.dot(ps, x, preferred_element_type=jnp.float32),
+                      1, np_)                            # [1, D]
+    acc_scr[:] = acc_scr[:] * corr + pv
     m_scr[0, 0] = m_new
 
     @pl.when(i == n_blocks - 1)
@@ -156,7 +188,7 @@ def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
         db1_scr[:] = jnp.zeros_like(db1_scr)
         dw2_scr[:] = jnp.zeros_like(dw2_scr)
 
-    x = x_ref[0].astype(jnp.float32)      # [bn, D]
+    x = x_ref[0]                          # [bn, D] storage dtype (bf16/f32)
     msk = mask_ref[0, 0]                  # [bn]
     w1 = w1_ref[:]                        # [hid, D]
     b1 = b1_ref[0]                        # [hid]
@@ -166,21 +198,27 @@ def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
     m = stats_ref[0][0, 0]
     l = stats_ref[0][0, 1]
 
-    h = jnp.tanh(jnp.dot(x, w1.T, preferred_element_type=jnp.float32) + b1[None, :])
+    h = jnp.tanh(_h_matmul(x, w1) + b1[None, :])
     logits = jnp.sum(h * w2[None, :], axis=-1)
     logits = jnp.where(msk > 0, logits, -1e30)
     a = jnp.exp(logits - m) / l
     a = jnp.where(msk > 0, a, 0.0)                       # [bn]
 
-    gx = jnp.dot(x, g[0], preferred_element_type=jnp.float32)   # [bn]
+    gs, np_ = _mm_rows(g, dtype=x.dtype)
+    gx_row, = _mm_unstack(jnp.dot(gs, x.T, preferred_element_type=jnp.float32),
+                          1, np_)                               # [1, bn]
+    gx = gx_row[0]                                              # [bn]
     gout = jnp.sum(g[0] * out[0])                               # scalar
     ds = a * (gx - gout)                                        # [bn]
     dz = (ds[:, None] * w2[None, :]) * (1.0 - h * h)            # [bn, hid]
 
-    dx = a[:, None] * g + jnp.dot(dz, w1, preferred_element_type=jnp.float32)
+    dx = a[:, None] * g + _dz_w1_matmul(dz, w1, x.dtype)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
-    dw1_scr[:] = dw1_scr[:] + jnp.dot(dz.T, x, preferred_element_type=jnp.float32)
+    dzs, np_ = _mm_rows(dz.T, dtype=x.dtype)
+    dw1c, = _mm_unstack(jnp.dot(dzs, x, preferred_element_type=jnp.float32),
+                        1, np_)                                 # [hid, D]
+    dw1_scr[:] = dw1_scr[:] + dw1c
     db1_scr[:] = db1_scr[:] + jnp.sum(dz, axis=0, keepdims=True)
     dw2_scr[:] = dw2_scr[:] + jnp.dot(ds[None, :], h,
                                       preferred_element_type=jnp.float32)
