@@ -157,10 +157,7 @@ def main():
     else:
         feats = jnp.asarray(feats_np)
         if feats_dtype == "bfloat16":
-            from vlsa_tpu.data.pipeline import feats_inv_norms
             feats = feats.astype(jnp.bfloat16)
-            x_inv = jnp.asarray(feats_inv_norms(
-                np.asarray(feats).astype(np.float32)))
     del feats_np
     mask = jnp.ones((B, N), bool)
     t = jnp.asarray(rng.integers(0, K, size=B), jnp.int32)
@@ -233,6 +230,51 @@ def main():
         jax.profiler.stop_trace()
         print(f"[bench] profile trace written to {profile_dir}")
 
+    # --- opt-in int8 feature storage, measured alongside (the headline
+    # stays bf16 = reference-equivalent numerics; int8 is a documented
+    # accuracy/speed tradeoff, docs/PERF.md).  Reuses the same jitted scans
+    # (programs land in the persistent compile cache) ---
+    int8_detail = None
+    if (feats_dtype == "bfloat16" and jax.default_backend() == "tpu"
+            and _os.environ.get("VLSA_TPU_BENCH_INT8", "1") == "1"):
+        try:
+            from vlsa_tpu.data.pipeline import feats_inv_norms, quantize_feats_int8
+            f32 = np.random.default_rng(0).normal(size=(B, N, D)).astype(np.float32)
+            q8, s8 = quantize_feats_int8(f32)
+            del f32
+            feats8 = jnp.asarray(q8)
+            xs8 = jnp.asarray(s8)
+            xi8 = jnp.asarray(feats_inv_norms(q8))
+            del q8
+            params, opt_state, loss = train_scan_jit(
+                params, opt_state, feats8, mask, t, e, key, x_scale=xs8, x_inv=xi8)
+            _ = float(loss)
+            _ = float(infer_scan_jit(params, feats8, mask, x_scale=xs8,
+                                     x_inv=xi8).sum())
+            t_tr8 = t_in8 = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                params, opt_state, loss = train_scan_jit(
+                    params, opt_state, feats8, mask, t, e, key,
+                    x_scale=xs8, x_inv=xi8)
+                _ = float(loss)
+                t_tr8 = min(t_tr8, (time.perf_counter() - t0) / SCAN_N)
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                out = infer_scan_jit(params, feats8, mask, x_scale=xs8, x_inv=xi8)
+                _ = float(out.sum())
+                t_in8 = min(t_in8, (time.perf_counter() - t0) / SCAN_N)
+            int8_detail = {
+                "train_step_ms": round(t_tr8 * 1e3, 2),
+                "infer_step_ms": round(t_in8 * 1e3, 2),
+                "slides_per_sec": round(B / (t_tr8 + t_in8), 2),
+                "note": "feats_dtype: int8 (per-patch quantized storage, "
+                        "native int8 MXU kernels + host inv norms)",
+            }
+            del feats8, xs8, xi8
+        except Exception as exc:  # never let the opt-in lane kill the headline
+            int8_detail = {"error": f"{type(exc).__name__}: {exc}"}
+
     # --- analytic roofline accounting (VERDICT r1 weak#2: report achieved
     # GB/s + FLOP/s so perf regressions are visible) ---
     n_tower_params = sum(
@@ -290,6 +332,8 @@ def main():
             "roofline": perf,
         },
     }
+    if int8_detail is not None:
+        result["detail"]["int8_opt_in"] = int8_detail
     if measured is not None:
         result["detail"]["measured_reference_cpu"] = {
             "reference_slides_per_sec_cpu": measured["reference_slides_per_sec_cpu"],

@@ -55,6 +55,9 @@ def validate_config(cfg: dict, task: str, strict: bool = False) -> list:
                 continue
             problems.append(f"key {key} should be {typ.__name__}, got "
                             f"{type(cfg[key]).__name__}")
+    if cfg.get("feats_dtype") not in (None, "float32", "bfloat16", "int8"):
+        problems.append(f"feats_dtype must be float32|bfloat16|int8, got "
+                        f"{cfg['feats_dtype']!r}")
     if problems:
         msg = "[config] validation problems:\n  " + "\n  ".join(problems)
         if strict:

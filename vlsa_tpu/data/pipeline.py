@@ -147,9 +147,11 @@ class BagBatcher:
 
         'bfloat16' halves, 'int8' quarters the HBM stream of the coattn
         kernels vs f32 (int8 adds a per-patch `feats_scale` f32 row; see
-        quantize_feats_int8).  Unless `precompute_inv` is off, a per-patch
-        `feats_inv` = 1/||x_stored|| f32 row rides along so the fused
-        kernels skip their only O(N*D) VPU reduction (ops/coattn.py)."""
+        quantize_feats_int8).  int8 also ships `feats_inv` = 1/||x_int||
+        so the kernels skip their only O(N*D) VPU reduction — measured
+        3.70 -> 2.63 ms on the flagship fwd+bwd (bf16 does NOT ship it:
+        that kernel is HBM-DMA-bound and the reduction is fully
+        overlapped, docs/PERF.md)."""
         if self.feats_dtype == "float32":
             return
         if self.feats_dtype == "int8":
@@ -160,8 +162,6 @@ class BagBatcher:
         import ml_dtypes  # numpy bfloat16 support
         batch["feats"] = batch["feats"].astype(
             ml_dtypes.bfloat16 if self.feats_dtype == "bfloat16" else self.feats_dtype)
-        if self.precompute_inv:
-            batch["feats_inv"] = feats_inv_norms(batch["feats"])
 
     def _count_overflow(self, n: int, target_n: int) -> None:
         if n > target_n:

@@ -173,7 +173,13 @@ class VLFAN(nn.Module):
                 X = dequantize_feats(X, x_scale).astype(jnp.bfloat16)
             x_scale = x_inv = None
         if self.use_feat_proj:
+            in_dtype = X.dtype
             X = self.feat_proj(X)
+            if in_dtype == jnp.bfloat16:
+                # bf16 storage opts into mixed precision: projected
+                # activations stay bf16 so the fused kernels stream the
+                # MXU's native dtype (incl. the dX write)
+                X = X.astype(jnp.bfloat16)
         q_eff = self.effective_query(query)
         scale = self.coattn_logit_scale
         if self.sp_mesh is not None:

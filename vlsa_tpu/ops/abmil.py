@@ -302,6 +302,9 @@ _abmil_pool_tpu.defvjp(_abmil_fwd, _abmil_bwd)
 
 def abmil_pool(x, mask, w1, b1, w2, b2, use_pallas: Optional[bool] = None):
     """Fused pooled output [B, D] (b2 is a softmax-invariant shift)."""
+    assert x.dtype != jnp.int8, \
+        "ABMIL consumes f32/bf16 features; dequantize int8 storage first " \
+        "(the engine does this for models without x_scale support)"
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() == "tpu"
     if mask is None:
