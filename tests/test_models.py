@@ -277,9 +277,11 @@ def test_abmil_fused_kernel_interpret():
 
 
 def test_abmil_bf16_storage_accuracy():
-    """bf16-stored features stream natively through the fused ABMIL kernels
-    (hi+lo w1/operand splits): kernel vs f32-compute reference on the SAME
-    bf16-rounded data stays ~1e-3, fwd and all grads."""
+    """bf16-stored features stream natively through the fused ABMIL kernels.
+    Default precision single-rounds w1/dz to bf16 (the hi/lo split is NOT
+    free at hid-width outputs — ops/abmil._PRECISE), so kernel vs f32
+    reference on the same bf16 data is bf16-level (~1e-2); with
+    VLSA_TPU_ABMIL_PRECISE=1 the bottleneck recovers ~f32."""
     import vlsa_tpu.ops.abmil as ab
     old = ab.INTERPRET
     ab.INTERPRET = True
@@ -298,7 +300,7 @@ def test_abmil_bf16_storage_accuracy():
         got = ab._abmil_pool_tpu(xb, mask, w1, b1, w2)
         ref, _ = ab.abmil_pool_reference(x32, mask, w1, b1, w2, 0.0)
         rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
-        assert rel < 1e-3, rel
+        assert rel < 2e-2, rel
 
         def loss_k(w1_, x_):
             return jnp.sum(ab._abmil_pool_tpu(x_, mask, w1_, b1, w2) ** 2)
@@ -309,11 +311,18 @@ def test_abmil_bf16_storage_accuracy():
         (dw1_k, dx_k) = jax.grad(loss_k, argnums=(0, 1))(w1, xb)
         (dw1_r, dx_r) = jax.grad(loss_r, argnums=(0, 1))(w1, x32)
         rel = float(jnp.max(jnp.abs(dw1_k - dw1_r)) / jnp.max(jnp.abs(dw1_r)))
-        assert rel < 2e-3, rel
+        assert rel < 5e-2, rel
         rel = float(jnp.max(jnp.abs(dx_k.astype(jnp.float32) - dx_r))
                     / jnp.max(jnp.abs(dx_r)))
-        assert rel < 2e-2, rel  # dX written in bf16 + single-rounded w1
+        assert rel < 5e-2, rel  # dX written in bf16 + single-rounded w1
+
+        # precise mode: hi/lo splits recover ~f32 on the bottleneck
+        ab._PRECISE = True
+        got_p = ab._abmil_pool_tpu(xb, mask, w1, b1, w2)
+        rel = float(jnp.max(jnp.abs(got_p - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 1e-3, rel
     finally:
+        ab._PRECISE = os.environ.get("VLSA_TPU_ABMIL_PRECISE", "0") == "1"
         ab.INTERPRET = old
 
 

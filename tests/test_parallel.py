@@ -231,6 +231,55 @@ def test_make_mesh_dcn_fallback():
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
 
 
+def test_mesh_int8_batch_training():
+    """int8 feature batches (with feats_scale/feats_inv sidecar rows) train
+    through the mesh-sharded TrainEngine: the sidecars shard with the patch
+    axis (batch_pspec) and the loss matches the dequantized-f32 mesh run."""
+    import optax
+    from vlsa_tpu.data.pipeline import feats_inv_norms, quantize_feats_int8
+    from vlsa_tpu.losses import load_loss
+    from vlsa_tpu.models import VLFAN
+    from vlsa_tpu.models.vlsa import VLSA
+    from vlsa_tpu.runner.engine import (
+        TrainEngine, make_objective, make_output_converter)
+
+    K, C, B, N = 4, 32, 8, 256
+    rng = np.random.default_rng(3)
+    text_feats = rng.normal(size=(K, C)).astype(np.float32)
+    model = VLSA(mil_encoder=VLFAN(dim_in=C, dim_hid=16, use_feat_proj=False,
+                                   query="Parameter", num_query=4,
+                                   query_pooling="mean"),
+                 pretrained_text_features=text_feats)
+    x_f = rng.normal(size=(B, N, C)).astype(np.float32)
+    x_i, s = quantize_feats_int8(x_f)
+    inv = feats_inv_norms(x_i)
+    x_deq = x_i.astype(np.float32) * s[..., None]
+    base = {"mask": np.ones((B, N), bool),
+            "t": rng.integers(0, K, size=B).astype(np.int32),
+            "e": rng.integers(0, 2, size=B).astype(np.float32),
+            "idx": np.arange(B, dtype=np.int32),
+            "valid": np.ones((B,), bool)}
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_deq),
+                        jnp.asarray(base["mask"]))["params"]
+    tx = optax.sgd(0.0)
+    loss_fns = load_loss("sa", loss_type=["SurvIFMLE"], SurvIFMLE={})
+    objective = make_objective(loss_fns, {"SurvIFMLE": 1.0},
+                               make_output_converter("softmax"), uses_vl=True)
+    mesh = make_mesh(n_data=4, n_model=2)
+    eng = TrainEngine(model, tx, objective, uses_vl=True, mesh=mesh,
+                      tensor_parallel=False, seq_parallel=False)
+    p = eng.shard_params(params)
+    o = eng.init_opt_state(p)
+    key = jax.random.PRNGKey(1)
+    b_q8 = eng.shard_batch(dict(base, feats=x_i, feats_scale=s, feats_inv=inv))
+    b_f32 = eng.shard_batch(dict(base, feats=x_deq))
+    _, _, loss_q8, _ = eng.train_step()(p, o, b_q8, key)
+    p = eng.shard_params(params)
+    o = eng.init_opt_state(p)
+    _, _, loss_f32, _ = eng.train_step()(p, o, b_f32, key)
+    np.testing.assert_allclose(float(loss_q8), float(loss_f32), rtol=1e-4)
+
+
 def test_eval_collection_degenerates_single_process():
     """collect_global / host_allgather (pod eval collection, SURVEY §2.8
     elastic row): on one process they are exact no-ops, including on

@@ -50,14 +50,23 @@ def pick_block(N: int):
 INTERPRET = False
 
 
-def _h_matmul(x, w1):
-    """h_pre [bn, hid] = x @ w1.T with x in its STORAGE dtype.
+# hi/lo splits on the [*, hid]-output matmuls double their MXU cycles —
+# unlike coattn's P<=16 rows they are NOT free at hid=256 (measured: the
+# split made the B=64 SA step SLOWER, 8.2 -> 11.0 ms).  Default is a
+# single-rounded bf16 w1/dz (the precision the MXU applies to f32 operands
+# under default matmul precision anyway); set VLSA_TPU_ABMIL_PRECISE=1 to
+# pay 2x matmul cycles for ~f32 bottleneck accuracy.
+_PRECISE = os.environ.get("VLSA_TPU_ABMIL_PRECISE", "0") == "1"
 
-    bf16 storage streams x natively through the MXU (the f32 upcast path
-    runs the MXU's multi-pass f32 mode, ~3x slower); w1 splits into hi+lo
-    bf16 column blocks (~f32 accuracy, same trick as ops/coattn._mm_rows)."""
+
+def _h_matmul(x, w1):
+    """h_pre [bn, hid] = x @ w1.T with x in its STORAGE dtype (bf16 streams
+    natively; f32 keeps the exact path)."""
     if x.dtype == jnp.float32:
         return jnp.dot(x, w1.T, preferred_element_type=jnp.float32)
+    if not _PRECISE:
+        return jnp.dot(x, w1.astype(x.dtype).T,
+                       preferred_element_type=jnp.float32)
     parts, np_ = _mm_rows(w1, dtype=x.dtype)        # [np*hid, D]
     prod = jnp.dot(x, parts.T, preferred_element_type=jnp.float32)
     if np_ == 2:
@@ -67,10 +76,12 @@ def _h_matmul(x, w1):
 
 
 def _dz_w1_matmul(dz, w1, dtype):
-    """dx contribution dz @ w1 with the contraction in `dtype`: dz splits
-    into hi+lo bf16 COLUMN halves against a single-rounded bf16 w1."""
+    """dx contribution dz @ w1 with the contraction in `dtype`."""
     if dtype == jnp.float32:
         return jnp.dot(dz, w1, preferred_element_type=jnp.float32)
+    if not _PRECISE:
+        return jnp.dot(dz.astype(dtype), w1.astype(dtype),
+                       preferred_element_type=jnp.float32)
     hi = dz.astype(jnp.bfloat16)
     lo = (dz - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     w1b = w1.astype(jnp.bfloat16)
@@ -215,9 +226,13 @@ def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
     dx = a[:, None] * g + _dz_w1_matmul(dz, w1, x.dtype)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
-    dzs, np_ = _mm_rows(dz.T, dtype=x.dtype)
-    dw1c, = _mm_unstack(jnp.dot(dzs, x, preferred_element_type=jnp.float32),
-                        1, np_)                                 # [hid, D]
+    if _PRECISE or x.dtype == jnp.float32:
+        dzs, np_ = _mm_rows(dz.T, dtype=x.dtype)
+        dw1c, = _mm_unstack(jnp.dot(dzs, x, preferred_element_type=jnp.float32),
+                            1, np_)                             # [hid, D]
+    else:
+        dw1c = jnp.dot(dz.T.astype(x.dtype), x,
+                       preferred_element_type=jnp.float32)
     dw1_scr[:] = dw1_scr[:] + dw1c
     db1_scr[:] = db1_scr[:] + jnp.sum(dz, axis=0, keepdims=True)
     dw2_scr[:] = dw2_scr[:] + jnp.dot(ds[None, :], h,
