@@ -56,11 +56,12 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-# Patch-axis tile for the flash-style streaming kernels.  2048 won the
-# on-chip v5e sweep (B=128 production config: 512 -> 11773, 1024 -> 13582,
-# 2048 -> 14222 slides/s; 5120/10240 exceed VMEM — STATUS.md); overridable
-# for tuning on other TPU generations.
-_BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "2048"))
+# Patch-axis tile for the flash-style streaming kernels.  2560 won the
+# on-chip v5e sweeps (fwd+bwd, B=128 x 10240 x 512: bf16 2048/2560 tie at
+# 4.18 ms; int8+inv 1024 -> 3.44, 2048 -> 2.63, 2560 -> 2.57 ms; 5120+
+# exceed VMEM — docs/PERF.md); overridable for other TPU generations.
+# Non-divisible N falls back down the chain (10240 % 2560 == 0).
+_BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "2560"))
 _STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 
