@@ -34,15 +34,16 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-# 1024 won the on-chip v5e sweep (B=64 x N=10240 x D=512, full train step:
-# fused@256 10.08 ms, pure-XLA 8.91 ms, fused@1024 8.16 ms; 2048 exceeds
-# VMEM) — examples/bench_abmil.py
-_BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "1024"))
+# 1280 won the on-chip v5e sweep with bf16 streaming (B=64 x N=10240 x
+# D=512 full train step: f32@1024 8.16 ms -> bf16@1024 7.49 -> bf16@1280
+# 7.26 ms; 2048 exceeds VMEM) — examples/bench_abmil.py
+_BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "1280"))
 
 
 def pick_block(N: int):
-    """Largest 128-aligned tile from {_BLOCK_N, 512, 256, 128} dividing N."""
-    for b in (_BLOCK_N, 2048, 1024, 512, 256, 128):
+    """Largest 128-aligned tile dividing N (2048 stays out of the fallback
+    chain: the bwd's [bn, hid] intermediates exceed VMEM there)."""
+    for b in (_BLOCK_N, 1280, 1024, 512, 256, 128):
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
             return b
