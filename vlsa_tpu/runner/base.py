@@ -259,6 +259,7 @@ class BaseHandler:
             max_bucket=cfg.get("max_bucket"),
             fixed_bucket=cfg.get("fixed_bucket"),
             feats_dtype=cfg.get("feats_dtype", "float32"),
+            precompute_inv=cfg.get("feats_precompute_inv", True),
             prefetch=cfg.get("prefetch", 2),
             overflow=cfg.get("bag_overflow", "error"),
         )
