@@ -253,7 +253,13 @@ class BagBatcher:
         batch = {"feats": feats, "mask": mask, "t": t, "e": e, "idx": idx, "valid": valid}
         if quantized:
             batch["feats_scale"] = fscale
-            batch["feats_inv"] = finv
+            # honor precompute_inv even though the store ships `inv`: the
+            # batch pytree structure must be identical to _cast_feats's
+            # (all-padding tail batches on other hosts go through that path,
+            # and a structure mismatch would desync the jitted step's
+            # collectives across hosts)
+            if self.precompute_inv:
+                batch["feats_inv"] = finv
         else:
             self._cast_feats(batch)
         if has_cluster:

@@ -57,19 +57,24 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 # Patch-axis tile for the flash-style streaming kernels.  2560 won the
-# on-chip v5e sweeps (fwd+bwd, B=128 x 10240 x 512: bf16 2048/2560 tie at
-# 4.18 ms; int8+inv 1024 -> 3.44, 2048 -> 2.63, 2560 -> 2.57 ms; 5120+
-# exceed VMEM — docs/PERF.md); overridable for other TPU generations.
-# Non-divisible N falls back down the chain (10240 % 2560 == 0).
+# on-chip v5e sweeps for bf16/int8 storage (fwd+bwd, B=128 x 10240 x 512:
+# bf16 2048/2560 tie at 4.18 ms; int8+inv 1024 -> 3.44, 2048 -> 2.63,
+# 2560 -> 2.57 ms; 5120+ exceed VMEM — docs/PERF.md).  f32 storage doubles
+# the per-tile VMEM footprint (operands + in-kernel f32 temporaries), so it
+# keeps the validated 2048 tile instead of risking a Mosaic VMEM failure the
+# divisibility-only fallback chain cannot catch.  Both overridable for other
+# TPU generations.  Non-divisible N falls back down the chain.
 _BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "2560"))
+_BLOCK_N_F32 = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N_F32", "2048"))
 _STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 
 
-def _pick_block(N: int):
-    """Largest tile from {_BLOCK_N, 512, 256, 128} that divides N (None if
-    none does -> caller falls back to the XLA reference path)."""
-    for b in (_BLOCK_N, 2048, 1024, 512, 256, 128):
+def _pick_block(N: int, dtype=None):
+    """Largest tile from the dtype's chain that divides N (None if none
+    does -> caller falls back to the XLA reference path)."""
+    top = _BLOCK_N_F32 if dtype == jnp.float32 else _BLOCK_N
+    for b in (top, 2048, 1024, 512, 256, 128):
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
             return b
@@ -448,7 +453,7 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array,
                        x_scale: Optional[Array] = None,
                        x_inv: Optional[Array] = None):
     B, N, C = x.shape
-    block_n = _pick_block(N)
+    block_n = _pick_block(N, x.dtype)
     assert block_n is not None, f"bag length {N} has no 128-aligned tile"
     n_blocks = N // block_n
     q, P, P_pad = _pad_q(q)
@@ -512,7 +517,7 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array,
 
 def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
     B, N, C = x.shape
-    block_n = _pick_block(N)
+    block_n = _pick_block(N, x.dtype)
     n_blocks = N // block_n
     P_pad = q_pad.shape[0]
 
@@ -554,7 +559,7 @@ def _coattn_pallas_bwd_dq(q_pad, x, mask, scale, g_pad, out_pad, stats,
                           x_scale: Optional[Array] = None,
                           x_inv: Optional[Array] = None):
     B, N, C = x.shape
-    block_n = _pick_block(N)
+    block_n = _pick_block(N, x.dtype)
     n_blocks = N // block_n
     P_pad = q_pad.shape[0]
 
@@ -718,7 +723,7 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
             "(quantized storage cannot back-propagate into a feat projecter)"
     if use_pallas is None:
         use_pallas = (_HAS_PALLAS and jax.default_backend() == "tpu"
-                      and _pick_block(x.shape[1]) is not None
+                      and _pick_block(x.shape[1], x.dtype) is not None
                       and os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
