@@ -275,6 +275,52 @@ def main():
         except Exception as exc:  # never let the opt-in lane kill the headline
             int8_detail = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # --- patch->feature extraction throughput (tiles/sec through the full
+    # CONCH ViT-B/16 tower at 448x448, forward_no_head — BASELINE config 5's
+    # end-to-end preprocessing path).  Random weights: throughput is
+    # weight-independent ---
+    extract_detail = None
+    if (jax.default_backend() == "tpu"
+            and _os.environ.get("VLSA_TPU_BENCH_EXTRACT", "1") == "1"):
+        try:
+            from vlsa_tpu.models.vision_tower import ConchVisualModel
+            EB = int(_os.environ.get("VLSA_TPU_BENCH_EXTRACT_B", "64"))
+            EN = 10  # scan length per dispatch
+            vit = ConchVisualModel(image_size=448, compute_dtype="bfloat16")
+            imgs0 = jnp.asarray(
+                np.random.default_rng(0).normal(size=(EB, 3, 448, 448))
+                .astype(np.float32))
+            vparams = jax.jit(lambda k: vit.init(
+                k, imgs0[:1], method=ConchVisualModel.forward_no_head
+            )["params"])(jax.random.PRNGKey(0))
+
+            def extract_scan(p, imgs):
+                def body(chain, _):
+                    out = vit.apply({"params": p}, imgs + chain * 1e-30,
+                                    method=ConchVisualModel.forward_no_head)
+                    return out[0, 0], out
+                _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(EN))
+                return outs[-1]
+
+            extract_jit = jax.jit(extract_scan)
+            _ = float(extract_jit(vparams, imgs0).sum())   # warm
+            t_ex = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                _ = float(extract_jit(vparams, imgs0).sum())
+                t_ex = min(t_ex, (time.perf_counter() - t0) / EN)
+            extract_detail = {
+                "tiles_per_sec": round(EB / t_ex, 1),
+                "batch_tiles": EB,
+                "step_ms": round(t_ex * 1e3, 2),
+                "note": "CONCH ViT-B/16 448x448 forward_no_head, bf16 "
+                        "compute (device compute only; host preprocessing "
+                        "overlaps via async dispatch in the extractor)",
+            }
+            del vparams, imgs0
+        except Exception as exc:
+            extract_detail = {"error": f"{type(exc).__name__}: {exc}"}
+
     # --- analytic roofline accounting (VERDICT r1 weak#2: report achieved
     # GB/s + FLOP/s so perf regressions are visible) ---
     n_tower_params = sum(
@@ -334,6 +380,8 @@ def main():
     }
     if int8_detail is not None:
         result["detail"]["int8_opt_in"] = int8_detail
+    if extract_detail is not None:
+        result["detail"]["feature_extraction"] = extract_detail
     if measured is not None:
         result["detail"]["measured_reference_cpu"] = {
             "reference_slides_per_sec_cpu": measured["reference_slides_per_sec_cpu"],

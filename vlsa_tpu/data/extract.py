@@ -1,0 +1,269 @@
+"""Patch -> feature extraction: the TPU-native path from WSI tiles to the
+feature stores the survival pipeline consumes.
+
+The reference's end-to-end story (ref README.md:88-94) tiles each WSI into
+448x448 patches at 20x and runs the CONCH image encoder over them; VLSA then
+trains on the resulting 512-d per-patch features.  The reference repo itself
+ships no extraction driver (it points at CLAM/CONCH) — this module supplies
+one, TPU-first:
+
+  * preprocessing is the reference-exact transform stack in pure numpy
+    (`transforms.py`; PIL-bit-exact bicubic, OpenAI constants),
+  * the tower is the Flax `ConchVisualModel.forward_no_head` — the CONCH
+    convention for MIL features (ref model/conch/coca_model.py:218-222 with
+    proj_contrast=False: 512-d ln'd, unprojected) — jitted at a fixed batch
+    so one compiled program serves every slide,
+  * host preprocessing overlaps device compute via JAX async dispatch
+    (the next batch is preprocessed while the previous one runs),
+  * outputs are `.npy` (f32) or pre-quantized `.q8npz` stores plus a
+    CLAM-style `coords` .h5 per slide — exactly what `data/io.py` /
+    `data/pipeline.py` read.
+
+Tile sources per slide: a CLAM-style `.h5` (datasets `imgs` [N,H,W,3] u8 +
+`coords` [N,2]), a `.npy` u8 stack, or a directory of image files with
+optional `<x>_<y>` coordinates in the filename.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import re
+import time
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .transforms import preprocess_batch, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
+
+
+# ---------------------------------------------------------------------------
+# Tile sources
+# ---------------------------------------------------------------------------
+
+
+def list_tile_sources(path: str) -> List[Tuple[str, str]]:
+    """Enumerate (slide_id, source_path) under `path`.
+
+    `path` may be one slide source (.h5/.npy/dir of images) or a directory
+    of such sources (one per slide)."""
+    if osp.isfile(path):
+        sid = osp.splitext(osp.basename(path))[0]
+        return [(sid, path)]
+    entries = sorted(os.listdir(path))
+    img_files = [e for e in entries if e.lower().endswith(_IMG_EXTS)]
+    if img_files:  # a single slide given as a directory of tiles
+        return [(osp.basename(osp.normpath(path)), path)]
+    out = []
+    for e in entries:
+        full = osp.join(path, e)
+        if e.lower().endswith((".h5", ".hdf5", ".npy")):
+            out.append((osp.splitext(e)[0], full))
+        elif osp.isdir(full):
+            out.append((e, full))
+    return out
+
+
+_COORD_RE = re.compile(r"(\d+)[_x,-](\d+)\D*$")
+
+
+def read_tiles(source: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read one slide's tiles -> (u8 [N, H, W, 3], coords [N, 2] or None)."""
+    if source.lower().endswith((".h5", ".hdf5")):
+        import h5py
+        with h5py.File(source, "r") as hf:
+            key = "imgs" if "imgs" in hf else "tiles"
+            tiles = np.asarray(hf[key][:])
+            coords = np.asarray(hf["coords"][:]) if "coords" in hf else None
+        return _as_u8_rgb(tiles), coords
+    if source.lower().endswith(".npy"):
+        return _as_u8_rgb(np.load(source)), None
+    # directory of images
+    files = sorted(f for f in os.listdir(source)
+                   if f.lower().endswith(_IMG_EXTS))
+    if not files:
+        raise FileNotFoundError(f"no tiles under {source}")
+    tiles, coords, have_coords = [], [], True
+    for f in files:
+        tiles.append(_read_image(osp.join(source, f)))
+        m = _COORD_RE.search(osp.splitext(f)[0])
+        if m:
+            coords.append((int(m.group(1)), int(m.group(2))))
+        else:
+            have_coords = False
+    arr = np.stack(tiles) if len({t.shape for t in tiles}) == 1 else tiles
+    return arr, (np.asarray(coords, np.int64) if have_coords else None)
+
+
+def _read_image(path: str) -> np.ndarray:
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"))
+    except ImportError:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _as_u8_rgb(arr: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr)
+    if arr.ndim == 3:  # [H, W, 3] single tile
+        arr = arr[None]
+    assert arr.ndim == 4 and arr.shape[-1] == 3, f"bad tile stack {arr.shape}"
+    return arr.astype(np.uint8) if arr.dtype != np.uint8 else arr
+
+
+# ---------------------------------------------------------------------------
+# The extractor
+# ---------------------------------------------------------------------------
+
+
+class FeatureExtractor:
+    """Jitted fixed-batch vision-tower forward for feature extraction.
+
+    One compiled program (batch `batch_size`, image `image_size`) serves all
+    slides; ragged tails are zero-padded and sliced off.  `model_name`:
+      * 'conch'    — ConchVisualModel.forward_no_head, 512-d (the reference's
+                     feature convention)
+      * 'clip_vit' — OpenAI CLIP ViT-B/16 image embedding, 512-d
+    """
+
+    def __init__(self, model_name: str = "conch",
+                 checkpoint: Optional[str] = None,
+                 image_size: int = 448,
+                 batch_size: int = 64,
+                 compute_dtype: str = "bfloat16",
+                 seed: int = 0,
+                 model_overrides: Optional[dict] = None):
+        import jax
+        import jax.numpy as jnp
+        from ..models.vision_tower import (
+            CLIPViT, ConchVisualModel, import_clip_vit_state,
+            import_conch_visual_state)
+
+        self.model_name = model_name
+        self.image_size = int(image_size)
+        self.batch_size = int(batch_size)
+        dummy = jnp.zeros((1, 3, self.image_size, self.image_size), jnp.float32)
+        overrides = dict(model_overrides or {})
+        if model_name == "conch":
+            model = ConchVisualModel(image_size=self.image_size,
+                                     compute_dtype=compute_dtype, **overrides)
+            apply_kwargs = {"method": ConchVisualModel.forward_no_head}
+        elif model_name == "clip_vit":
+            model = CLIPViT(input_resolution=self.image_size,
+                            compute_dtype=compute_dtype, **overrides)
+            apply_kwargs = {}
+        else:
+            raise ValueError(f"unknown extractor model '{model_name}'")
+
+        if checkpoint is not None:
+            from ..utils.torch_import import load_torch_state_dict
+            state = load_torch_state_dict(checkpoint)
+            if model_name == "conch":
+                params = import_conch_visual_state(
+                    state, layers=model.layers, image_size=self.image_size,
+                    patch_size=model.patch_size)
+            else:
+                params = import_clip_vit_state(state, layers=model.layers)
+            params = jax.tree.map(jnp.asarray, params)
+        else:
+            params = model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+        def fwd(p, x):
+            return model.apply({"params": p}, x, **apply_kwargs)
+
+        self._params = params
+        self._fwd = jax.jit(fwd)
+        self._jnp = jnp
+        self.feat_dim = int(self._fwd(params, dummy if self.batch_size == 1
+                                      else jnp.zeros(
+                                          (self.batch_size, 3, self.image_size,
+                                           self.image_size), jnp.float32)
+                                      ).shape[-1])
+
+    def preprocess(self, tiles) -> np.ndarray:
+        """uint8 tiles -> f32 [N, 3, S, S] (reference-exact transform)."""
+        return preprocess_batch(tiles, self.image_size,
+                                OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
+
+    def extract_preprocessed(self, x: np.ndarray) -> np.ndarray:
+        """f32 [N, 3, S, S] -> f32 [N, feat_dim].
+
+        Batches of `batch_size` are dispatched without blocking — device
+        compute for batch i overlaps the host work for batch i+1."""
+        jnp = self._jnp
+        N, B = x.shape[0], self.batch_size
+        outs = []
+        for i in range(0, N, B):
+            chunk = x[i:i + B]
+            if chunk.shape[0] < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - chunk.shape[0],) + chunk.shape[1:],
+                                     chunk.dtype)], axis=0)
+            outs.append(self._fwd(self._params, jnp.asarray(chunk)))
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:N]
+
+    def extract(self, tiles) -> np.ndarray:
+        """uint8 tiles -> f32 [N, feat_dim] features."""
+        return self.extract_preprocessed(self.preprocess(tiles))
+
+
+# ---------------------------------------------------------------------------
+# Store writers + driver
+# ---------------------------------------------------------------------------
+
+
+def write_feature_store(out_dir: str, sid: str, feats: np.ndarray,
+                        fmt: str = "npy",
+                        coords: Optional[np.ndarray] = None,
+                        coord_dir: Optional[str] = None) -> str:
+    """Write one slide's features (+ optional CLAM-style coords .h5)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if fmt == "npy":
+        path = osp.join(out_dir, sid + ".npy")
+        np.save(path, feats.astype(np.float32))
+    elif fmt == "q8npz":
+        from .pipeline import feats_inv_norms, quantize_feats_int8
+        q, scale = quantize_feats_int8(feats.astype(np.float32))
+        path = osp.join(out_dir, sid + ".q8npz")
+        with open(path, "wb") as f:
+            np.savez(f, q=q, scale=scale, inv=feats_inv_norms(q))
+    else:
+        raise ValueError(f"unknown feature store format '{fmt}'")
+    if coords is not None:
+        import h5py
+        cdir = coord_dir or out_dir
+        os.makedirs(cdir, exist_ok=True)
+        with h5py.File(osp.join(cdir, sid + ".h5"), "w") as hf:
+            hf.create_dataset("coords", data=np.asarray(coords))
+    return path
+
+
+def extract_to_store(source_path: str, out_dir: str,
+                     extractor: FeatureExtractor,
+                     fmt: str = "npy",
+                     coord_dir: Optional[str] = None,
+                     verbose: bool = True) -> dict:
+    """Run extraction over every slide under `source_path`.
+
+    Returns {'slides': n, 'tiles': n, 'tiles_per_sec': float}."""
+    sources = list_tile_sources(source_path)
+    if not sources:
+        raise FileNotFoundError(f"no tile sources under {source_path}")
+    n_tiles = 0
+    t0 = time.perf_counter()
+    for sid, src in sources:
+        tiles, coords = read_tiles(src)
+        feats = extractor.extract(tiles)
+        write_feature_store(out_dir, sid, feats, fmt, coords, coord_dir)
+        n = len(tiles)
+        n_tiles += n
+        if verbose:
+            print(f"[extract] {sid}: {n} tiles -> "
+                  f"{osp.join(out_dir, sid)}.{fmt}")
+    dt = time.perf_counter() - t0
+    return {"slides": len(sources), "tiles": n_tiles,
+            "tiles_per_sec": n_tiles / dt if dt > 0 else float("inf")}

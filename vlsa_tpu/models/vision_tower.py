@@ -474,15 +474,67 @@ def import_attentional_pooler_state(state: dict, prefix: str) -> dict:
     return out
 
 
+def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] bilinear interpolation matrix with torch
+    F.interpolate(..., mode='bilinear', align_corners=False, antialias=False)
+    semantics: src = (dst + 0.5) * in/out - 0.5, negative clamped to 0."""
+    c = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    c = np.maximum(c, 0.0)
+    i0 = np.floor(c).astype(np.int64)
+    frac = c - i0
+    i0 = np.clip(i0, 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    M = np.zeros((out_size, in_size), np.float64)
+    np.add.at(M, (np.arange(out_size), i0), 1.0 - frac)
+    np.add.at(M, (np.arange(out_size), i1), frac)
+    return M
+
+
+def resize_pos_embed(pos_embed: np.ndarray, new_grid: "tuple[int, int]",
+                     num_prefix_tokens: int = 1) -> np.ndarray:
+    """timm `resample_abs_pos_embed` behaviour (bilinear, antialias=False,
+    align_corners=False) as the reference wires it for checkpoint loading
+    (ref model/conch/coca_model.py:348-370, factory.py:27-31): released
+    224-trained CONCH weights load into a 448-input model by interpolating
+    the [1, 1+g*g, C] absolute position table on its spatial grid.
+
+    Pure numpy; parity vs torch F.interpolate asserted in
+    tests/test_extract.py."""
+    pos_embed = np.asarray(pos_embed, np.float32)
+    assert pos_embed.ndim == 3 and pos_embed.shape[0] == 1
+    prefix = pos_embed[:, :num_prefix_tokens]
+    grid = pos_embed[0, num_prefix_tokens:]
+    g_old = int(round(np.sqrt(grid.shape[0])))
+    assert g_old * g_old == grid.shape[0], "non-square pos-embed grid"
+    gh, gw = new_grid
+    if (g_old, g_old) == (gh, gw):
+        return pos_embed
+    x = grid.reshape(g_old, g_old, -1).astype(np.float64)  # [H, W, C]
+    Mh = _bilinear_matrix(g_old, gh)
+    Mw = _bilinear_matrix(g_old, gw)
+    x = np.einsum("oh,hwc->owc", Mh, x)
+    x = np.einsum("ow,hwc->hoc", Mw, x)
+    out = x.reshape(1, gh * gw, -1).astype(np.float32)
+    return np.concatenate([prefix, out], axis=1)
+
+
 def import_conch_visual_state(state: dict, layers: int = 12,
-                              prefix: str = "visual.") -> dict:
-    """CONCH pytorch_model.bin visual.* -> ConchVisualModel params."""
+                              prefix: str = "visual.",
+                              image_size: int = 448,
+                              patch_size: int = 16) -> dict:
+    """CONCH pytorch_model.bin visual.* -> ConchVisualModel params.
+
+    Resizes the absolute pos-embed table to the target grid when the
+    checkpoint was trained at a different resolution (the released CONCH
+    weights are 224-trained; the reference runs them at 448 — ref
+    model/conch/factory.py:27-31)."""
     g = lambda k: np.asarray(state[prefix + k])
+    grid = image_size // patch_size
     trunk = {
         "patch_embed_weight": g("trunk.patch_embed.proj.weight"),
         "patch_embed_bias": g("trunk.patch_embed.proj.bias"),
         "cls_token": g("trunk.cls_token"),
-        "pos_embed": g("trunk.pos_embed"),
+        "pos_embed": resize_pos_embed(g("trunk.pos_embed"), (grid, grid)),
         "norm": {"scale": g("trunk.norm.weight"), "bias": g("trunk.norm.bias")},
     }
     for i in range(layers):
