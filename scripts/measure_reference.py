@@ -207,6 +207,9 @@ def main():
     ap.add_argument("--bp_every_batch", type=int, default=32)
     ap.add_argument("--ref_bags", type=int, default=None,
                     help="bags to time for the reference loop")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="independent timing repeats; the report carries "
+                         "mean +/- spread so the ratio is robust to host noise")
     ap.add_argument("--out", default="BASELINE_MEASURED.json")
     args = ap.parse_args()
 
@@ -217,32 +220,51 @@ def main():
         print(json.dumps({"error": f"reference not mounted at {REFERENCE_ROOT}"}))
         return
 
-    print(f"[measure] reference torch-CPU loop: {ref_bags} bags x "
-          f"{args.n_patches} patches, tower {tower_cfg} ...")
-    ref_sps, ref_per_bag = measure_reference(
-        tower_cfg, args.n_patches, args.bp_every_batch, ref_bags)
-    print(f"[measure] reference: {ref_sps:.3f} slides/sec "
-          f"({ref_per_bag*1e3:.1f} ms/bag)")
+    print(f"[measure] reference torch-CPU loop: {args.repeats} x {ref_bags} "
+          f"bags x {args.n_patches} patches, tower {tower_cfg} ...")
+    ref_runs = []
+    for r in range(args.repeats):
+        ref_sps, ref_per_bag = measure_reference(
+            tower_cfg, args.n_patches, args.bp_every_batch, ref_bags)
+        ref_runs.append(ref_sps)
+        print(f"[measure] reference run {r + 1}/{args.repeats}: "
+              f"{ref_sps:.3f} slides/sec ({ref_per_bag*1e3:.1f} ms/bag)")
 
     print("[measure] ours (JAX CPU, same host) ...")
-    ours_sps, ours_step = measure_ours_cpu(
-        tower_cfg, args.n_patches, args.bp_every_batch)
-    print(f"[measure] ours: {ours_sps:.2f} slides/sec "
-          f"({ours_step*1e3:.1f} ms / {args.bp_every_batch}-bag step)")
+    ours_runs = []
+    for r in range(args.repeats):
+        ours_sps, ours_step = measure_ours_cpu(
+            tower_cfg, args.n_patches, args.bp_every_batch)
+        ours_runs.append(ours_sps)
+        print(f"[measure] ours run {r + 1}/{args.repeats}: {ours_sps:.2f} "
+              f"slides/sec ({ours_step*1e3:.1f} ms / "
+              f"{args.bp_every_batch}-bag step)")
 
+    ref_sps = float(np.mean(ref_runs))
+    ours_sps = float(np.mean(ours_runs))
+    spread = lambda runs: round((max(runs) - min(runs)) / 2, 4)
     import multiprocessing
     result = {
         "host": f"cpu x{multiprocessing.cpu_count()}",
         "tower": tower_cfg,
         "n_patches": args.n_patches,
         "bp_every_batch": args.bp_every_batch,
+        "repeats": args.repeats,
         "reference_slides_per_sec_cpu": round(ref_sps, 4),
+        "reference_slides_per_sec_cpu_spread": spread(ref_runs),
+        "reference_runs": [round(x, 4) for x in ref_runs],
         "ours_slides_per_sec_cpu": round(ours_sps, 3),
+        "ours_slides_per_sec_cpu_spread": spread(ours_runs),
+        "ours_runs": [round(x, 3) for x in ours_runs],
         "measured_cpu_ratio": round(ours_sps / ref_sps, 2),
+        "measured_cpu_ratio_range": [
+            round(min(ours_runs) / max(ref_runs), 2),
+            round(max(ours_runs) / min(ref_runs), 2)],
         "reference_bags_timed": ref_bags,
         "note": ("same-host torch-CPU vs JAX-CPU measurement of identical "
                  "train-step semantics; anchors bench.py's analytic "
-                 "reference-GPU estimate (SURVEY.md §6)"),
+                 "reference-GPU estimate (SURVEY.md §6); ratio range = "
+                 "worst/best pairing across repeats"),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -115,3 +115,74 @@ def test_interpret_cohort(tmp_path):
     # probs from the decoupled path are proper distributions
     np.testing.assert_allclose(out["probs"].sum(-1), np.ones(B), rtol=1e-4)
     assert os.path.exists(out_csv)
+
+
+def _small_abmil_vlsa():
+    import jax
+    from vlsa_tpu.models.vlsa_build import build_vlsa
+    return build_vlsa(
+        vlsa_api="CONCH",
+        text_encoder_cfg={"name": "mahmoodlab/conch", "frozen": True},
+        image_encoder_cfg={
+            "name": "DeepMIL", "dim_in": 64, "dim_hid": 32,
+            "use_feat_proj": False, "drop_rate": 0.25,
+            "pred_head": "Adapter", "pooling": "attention",
+        },
+        prompt_learner_cfg={
+            "name": "CoOp", "method": "rank", "pretrained": False,
+            "num_ranks": 4, "num_base_ranks": 2, "num_tokens_per_rank": 2,
+            "num_context_tokens": 4, "rank_tokens_position": "tail",
+            "init_prompt_path": "vlsa_tpu/assets/tools/survival_prompts.json",
+            "init_prompt_context_idx": 0, "init_prompt_rank_idx": 0,
+            "rank_specific_context": False,
+        },
+        tower_overrides={"width": 32, "heads": 4, "layers": 2, "output_dim": 64},
+        rng=jax.random.PRNGKey(0),
+    )
+
+
+def test_calc_abmil_text_img_similarity():
+    """ABMIL interpretation variant (ref utils/model_inference.py:146-178):
+    attention is a patch distribution, probs/sims agree with a manual
+    recomputation from forward_text_only + encode_instances."""
+    import jax
+    import jax.numpy as jnp
+    from vlsa_tpu.interpret import calc_abmil_text_img_similarity
+
+    model, params, _tok = _small_abmil_vlsa()
+    X = np.random.default_rng(0).normal(size=(300, 64)).astype(np.float32)
+    out = calc_abmil_text_img_similarity(model, params, X)
+
+    A, probs, sim = out["attention"], out["probs"], out["similarity"]
+    assert A.shape == (1, 300) and probs.shape == (1, 4) and sim.shape == (1, 4)
+    assert np.all(A >= 0) and np.isclose(A.sum(), 1.0, atol=1e-5)
+    assert np.isclose(probs.sum(), 1.0, atol=1e-5)
+
+    # manual recomputation
+    tf = model.apply({"params": params}, method=model.forward_text_only)
+    tf = np.asarray(tf)
+    ntf = tf / np.linalg.norm(tf, axis=-1, keepdims=True)
+    feat, raw = model.apply(
+        {"params": params},
+        method=lambda m: m.encode_instances(
+            jnp.asarray(X)[None], jnp.ones((1, 300), bool), ret_with_attn=True))
+    feat = np.asarray(feat)
+    nf = feat / np.linalg.norm(feat, axis=-1, keepdims=True)
+    want_sim = nf @ ntf.T
+    np.testing.assert_allclose(sim, want_sim, atol=1e-5)
+    ls = out["logit_scale"]
+    want_probs = np.exp(ls * want_sim) / np.exp(ls * want_sim).sum()
+    np.testing.assert_allclose(probs, want_probs, atol=1e-5)
+    want_A = np.exp(raw - np.max(raw)) / np.exp(raw - np.max(raw)).sum()
+    np.testing.assert_allclose(A, np.asarray(want_A), atol=1e-5)
+
+
+def test_abmil_masked_attention_excludes_padding():
+    from vlsa_tpu.interpret import calc_abmil_text_img_similarity
+    model, params, _tok = _small_abmil_vlsa()
+    X = np.random.default_rng(1).normal(size=(1, 64, 64)).astype(np.float32)
+    mask = np.ones((1, 64), bool)
+    mask[:, 48:] = False
+    out = calc_abmil_text_img_similarity(model, params, X, mask=mask)
+    assert np.allclose(out["attention"][0, 48:], 0.0)
+    assert np.isclose(out["attention"].sum(), 1.0, atol=1e-5)

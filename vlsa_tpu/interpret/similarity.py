@@ -81,3 +81,43 @@ def calc_text_img_similarity(model, params, X, mask=None, axis_softmax: str = "V
         "shap_importance": np.asarray(shap),
         "logit_scale": logit_scale,
     }
+
+
+def calc_abmil_text_img_similarity(model, params, X, mask=None):
+    """ABMIL interpretation variant (ref utils/model_inference.py:146-178):
+    for a VLSA assembly whose MIL encoder is the ABMIL family (DeepMIL),
+    return the patch attention distribution and the bin probabilities.
+
+    The reference softmaxes the encoder's raw attention scores over patches
+    (`F.softmax(attn_score, dim=-1)`); ours is the mask-aware equivalent so
+    padded patches get zero mass.
+
+    Returns {'attention' [1, N] softmaxed patch weights, 'probs' [1, K],
+    'similarity' [1, K] cosine sims, 'logit_scale' float}."""
+    X = jnp.asarray(X)
+    if X.ndim == 2:
+        X = X[None]
+    if mask is None:
+        mask = jnp.ones(X.shape[:2], bool)
+
+    variables = {"params": params}
+    logit_scale = float(np.exp(np.asarray(params["logit_scale"])))
+    text_features = model.apply(variables, method=model.forward_text_only)
+    norm_text = l2_normalize(text_features, axis=-1)              # [K, E]
+
+    def _encode(m):
+        return m.encode_instances(X, mask, ret_with_attn=True)
+    image_feature, raw_attn = model.apply(variables, method=_encode)
+    if raw_attn.ndim == 3:                                        # [B, 1, N]
+        raw_attn = raw_attn[:, 0]
+    attn = masked_softmax(raw_attn, mask, axis=-1)                # [1, N]
+
+    norm_img = l2_normalize(image_feature, axis=-1)               # [1, E]
+    sim = norm_img @ norm_text.T                                  # [1, K]
+    probs = jax.nn.softmax(logit_scale * sim, axis=-1)
+    return {
+        "attention": np.asarray(attn),
+        "probs": np.asarray(probs),
+        "similarity": np.asarray(sim),
+        "logit_scale": logit_scale,
+    }

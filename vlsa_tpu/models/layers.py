@@ -77,7 +77,7 @@ class AttentionPooling(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None, ret_raw_attn: bool = True,
-                 need_attn: bool = True):
+                 need_attn: bool = True, x_scale: Optional[jax.Array] = None):
         D = x.shape[-1]
         k1 = self.param("fc1_kernel", torch_linear_init, (D, self.hid_dim))
         b1 = self.param("fc1_bias",
@@ -92,8 +92,12 @@ class AttentionPooling(nn.Module):
                     and pick_block(x.shape[1]) is not None
                     and _os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")
         if fused_ok:
-            pooled = _abmil.abmil_pool(x, mask, k1.T, b1, k2[:, 0], b2[0])
+            pooled = _abmil.abmil_pool(x, mask, k1.T, b1, k2[:, 0], b2[0],
+                                       x_scale=x_scale)
             return pooled, None
+        if x.dtype == jnp.int8:
+            from ..ops.coattn import dequantize_feats
+            x = jax.lax.stop_gradient(dequantize_feats(x, x_scale))
         h = nn.tanh(x @ k1 + b1)
         a_raw = (h @ k2)[..., 0] + b2[0]  # [B, N]
         attn = masked_softmax(a_raw, mask, axis=-1)

@@ -215,10 +215,22 @@ class DeepMIL(nn.Module):
     dim_reduction: int = 4
     keep_ratio: float = 0.8
 
+    accepts_x_scale = True
+
     @nn.compact
-    def __call__(self, X, mask=None, ret_with_attn: bool = False, train: bool = False):
+    def __call__(self, X, mask=None, ret_with_attn: bool = False, train: bool = False,
+                 x_scale=None, x_inv=None):
         assert self.pooling in ("mean", "max", "attention", "gated_attention")
         assert self.pred_head in ("default", "Adapter")
+        del x_inv  # unnormalised pooling: the 1/l2norm sidecar is unused
+        if X.dtype == jnp.int8 and (self.use_feat_proj
+                                    or self.pooling != "attention"):
+            # the int8 fast path exists only for raw-feature attention
+            # pooling (ops/abmil q8 kernels); anything transforming X first
+            # consumes dequantized features
+            from ..ops.coattn import dequantize_feats
+            X = dequantize_feats(X, x_scale).astype(jnp.bfloat16)
+            x_scale = None
         if self.use_feat_proj:
             in_dtype = X.dtype
             X = FeatProjecter(self.dim_in, name="feat_proj")(X)
@@ -234,7 +246,7 @@ class DeepMIL(nn.Module):
             out_feat = masked_max(X, mask, axis=1)
         elif self.pooling == "attention":
             out_feat, raw_attn = AttentionPooling(self.dim_hid, name="sigma")(
-                X, mask, need_attn=ret_with_attn)
+                X, mask, need_attn=ret_with_attn, x_scale=x_scale)
         else:
             out_feat, raw_attn = GatedAttentionPooling(
                 self.dim_hid, dropout=self.drop_rate, name="sigma")(X, mask, train=train)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.masked import l2_normalize
-from .mil import FeatMIL, VLFAN, logit_pooling
+from .mil import DeepMIL, FeatMIL, VLFAN, logit_pooling
 
 Array = jax.Array
 
@@ -106,8 +106,11 @@ class VLSA(nn.Module):
         if isinstance(self.mil_encoder, VLFAN):
             kwargs["x_scale"] = x_scale
             kwargs["x_inv"] = x_inv
+        elif isinstance(self.mil_encoder, DeepMIL):
+            # ABMIL-family consumes int8 natively too (ops/abmil q8 kernels)
+            kwargs["x_scale"] = x_scale
         elif x_scale is not None:
-            # only VLFAN consumes int8 natively; dequantize for the rest
+            # remaining encoders consume dequantized features
             from ..ops.coattn import dequantize_feats
             X = dequantize_feats(X, x_scale).astype(jnp.bfloat16)
         if isinstance(self.mil_encoder, FeatMIL):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coattn import _mm_rows, _mm_unstack
+from .coattn import _mm_rows, _mm_unstack, _stream_matmul, dequantize_feats
 from .masked import masked_softmax
 
 try:
@@ -295,6 +295,230 @@ def _abmil_pallas_bwd(x, mask, w1, b1, w2, g, out, stats):
     return dx, dw1, db1[0], dw2[0]
 
 
+# ---------------------------------------------------------------------------
+# int8 feature storage (.q8npz): native int8 MXU kernels
+#
+# x_deq[n] = s[n] * x_i[n] (per-patch symmetric quantization).  Unlike the
+# coattn logits, the ABMIL bottleneck is NOT scale-invariant — but the scale
+# factors out of the big matmul:  h_pre[n] = s[n] * (x_i[n] @ W1^T) + b1, so
+# the [bn, D] stream runs in the native int8 MXU mode (W1/g/dz quantized
+# hi+lo int8 to ~15 mantissa bits, ops/coattn._mm_rows_i8) and the per-patch
+# scale is applied on the [hid, bn] product.  The PV accumulation folds the
+# scale into the softmax weights exactly like the coattn kernels.  dX is
+# never produced: int8 storage means the pooling consumes raw stored
+# features (data, not activations), so the backward writes only dW1/db1/dw2
+# — saving the [B, N, D] HBM write the f32/bf16 backward pays.
+# ---------------------------------------------------------------------------
+
+
+def _abmil_q8_kernel(x_ref, xs_ref, mask_ref, w1_ref, b1_ref, w2_ref,
+                     out_ref, stats_ref, m_scr, l_scr, acc_scr, *,
+                     n_blocks: int):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[0, 0] = -1e30
+        l_scr[0, 0] = 0.0
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[0]                          # [bn, D] int8
+    s_row = xs_ref[0, 0]                  # [bn] f32 dequant scales
+    msk = mask_ref[0, 0]                  # [bn]
+    w1 = w1_ref[:]                        # [hid, D] f32
+    b1 = b1_ref[0]                        # [hid]
+    w2 = w2_ref[0]                        # [hid]
+
+    h_unit, = _stream_matmul([w1], x, transpose=True)     # [hid, bn]
+    h = jnp.tanh(h_unit * s_row[None, :] + b1[:, None])
+    logits = jnp.sum(h * w2[:, None], axis=0)             # [bn]
+    logits = jnp.where(msk > 0, logits, -1e30)
+
+    m_prev = m_scr[0, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(logits))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    p = jnp.where(msk > 0, p, 0.0)
+    l_scr[0, 0] = l_scr[0, 0] * corr + jnp.sum(p)
+    pv, = _stream_matmul([(p * s_row)[None, :]], x, transpose=False)  # [1, D]
+    acc_scr[:] = acc_scr[:] * corr + pv
+    m_scr[0, 0] = m_new
+
+    @pl.when(i == n_blocks - 1)
+    def _fin():
+        out_ref[0] = acc_scr[:] / jnp.maximum(l_scr[0, 0], 1e-30)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        stats_ref[0] = (jnp.where(lane == 0, m_scr[0, 0], 0.0)
+                        + jnp.where(lane == 1, jnp.maximum(l_scr[0, 0], 1e-30), 0.0))
+
+
+def _abmil_q8_pallas(x, x_scale, mask, w1, b1, w2):
+    B, N, D = x.shape
+    hid = w1.shape[0]
+    block_n = pick_block(N)
+    assert block_n is not None
+    n_blocks = N // block_n
+    kernel = functools.partial(_abmil_q8_kernel, n_blocks=n_blocks)
+    out, stats = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D * (hid + 1),
+            bytes_accessed=B * N * D + 4 * (B * N + B * D + hid * D),
+            transcendentals=B * N * (hid + 1),
+        ),
+    )(x, x_scale.astype(jnp.float32)[:, None, :],
+      mask.astype(jnp.float32)[:, None, :],
+      w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :],
+      w2.astype(jnp.float32)[None, :])
+    return out[:, 0, :], stats
+
+
+def _abmil_q8_bwd_kernel(x_ref, xs_ref, mask_ref, w1_ref, b1_ref, w2_ref,
+                         g_ref, out_ref, stats_ref, dw1_ref, db1_ref, dw2_ref,
+                         dw1_scr, db1_scr, dw2_scr, *, n_blocks: int):
+    """Weight-grads-only streaming backward (features are data: no dX)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_b = pl.num_programs(0)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _init():
+        dw1_scr[:] = jnp.zeros_like(dw1_scr)
+        db1_scr[:] = jnp.zeros_like(db1_scr)
+        dw2_scr[:] = jnp.zeros_like(dw2_scr)
+
+    x = x_ref[0]                          # [bn, D] int8
+    s_row = xs_ref[0, 0]                  # [bn]
+    msk = mask_ref[0, 0]                  # [bn]
+    w1 = w1_ref[:]                        # [hid, D]
+    b1 = b1_ref[0]
+    w2 = w2_ref[0]
+    g = g_ref[0]                          # [1, D]
+    out = out_ref[0]                      # [1, D]
+    m = stats_ref[0][0, 0]
+    l = stats_ref[0][0, 1]
+
+    # separate calls: _mm_unstack_i8 assumes equal per-matrix row counts
+    h_unit, = _stream_matmul([w1], x, transpose=True)             # [hid, bn]
+    gx_unit, = _stream_matmul([g], x, transpose=True)             # [1, bn]
+    h = jnp.tanh(h_unit * s_row[None, :] + b1[:, None])           # [hid, bn]
+    logits = jnp.sum(h * w2[:, None], axis=0)
+    logits = jnp.where(msk > 0, logits, -1e30)
+    a = jnp.exp(logits - m) / l
+    a = jnp.where(msk > 0, a, 0.0)                                # [bn]
+
+    gx = gx_unit[0] * s_row                                       # [bn]
+    gout = jnp.sum(g[0] * out[0])
+    ds = a * (gx - gout)                                          # [bn]
+    dz = (w2[:, None] * ds[None, :]) * (1.0 - h * h)              # [hid, bn]
+
+    dw1c, = _stream_matmul([dz * s_row[None, :]], x, transpose=False)  # [hid, D]
+    dw1_scr[:] = dw1_scr[:] + dw1c
+    db1_scr[:] = db1_scr[:] + jnp.sum(dz, axis=1)[None, :]
+    dw2_scr[:] = dw2_scr[:] + jnp.dot(h, ds[:, None],
+                                      preferred_element_type=jnp.float32).T
+
+    @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
+    def _fin():
+        dw1_ref[:] = dw1_scr[:]
+        db1_ref[:] = db1_scr[:]
+        dw2_ref[:] = dw2_scr[:]
+
+
+def _abmil_q8_pallas_bwd(x, x_scale, mask, w1, b1, w2, g, out, stats):
+    B, N, D = x.shape
+    hid = w1.shape[0]
+    block_n = pick_block(N)
+    n_blocks = N // block_n
+    kernel = functools.partial(_abmil_q8_bwd_kernel, n_blocks=n_blocks)
+    dw1, db1, dw2 = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((hid, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hid, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, hid), jnp.float32),
+            jax.ShapeDtypeStruct((1, hid), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hid, D), jnp.float32),
+            pltpu.VMEM((1, hid), jnp.float32),
+            pltpu.VMEM((1, hid), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * N * D * hid,
+            bytes_accessed=B * N * D + 4 * (B * N + 2 * B * D + hid * D),
+            transcendentals=B * N * hid,
+        ),
+    )(x, x_scale.astype(jnp.float32)[:, None, :],
+      mask.astype(jnp.float32)[:, None, :],
+      w1.astype(jnp.float32), b1.astype(jnp.float32)[None, :],
+      w2.astype(jnp.float32)[None, :],
+      g[:, None, :].astype(jnp.float32), out[:, None, :], stats)
+    return dw1, db1[0], dw2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _abmil_pool_tpu_q8(x, x_scale, mask, w1, b1, w2):
+    out, _stats = _abmil_q8_pallas(x, x_scale, mask, w1, b1, w2)
+    return out
+
+
+def _abmil_q8_fwd(x, x_scale, mask, w1, b1, w2):
+    out, stats = _abmil_q8_pallas(x, x_scale, mask, w1, b1, w2)
+    return out, (x, x_scale, mask, w1, b1, w2, out, stats)
+
+
+def _abmil_q8_bwd(res, g):
+    x, x_scale, mask, w1, b1, w2, out, stats = res
+    dw1, db1, dw2 = _abmil_q8_pallas_bwd(
+        x, x_scale, mask, w1, b1, w2, g, out, stats)
+    return (None, None, None, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype))
+
+
+_abmil_pool_tpu_q8.defvjp(_abmil_q8_fwd, _abmil_q8_bwd)
+
+
 @jax.custom_vjp
 def _abmil_pool_tpu(x, mask, w1, b1, w2):
     out, _stats = _abmil_pallas(x, mask, w1, b1, w2)
@@ -316,15 +540,23 @@ def _abmil_bwd(res, g):
 _abmil_pool_tpu.defvjp(_abmil_fwd, _abmil_bwd)
 
 
-def abmil_pool(x, mask, w1, b1, w2, b2, use_pallas: Optional[bool] = None):
-    """Fused pooled output [B, D] (b2 is a softmax-invariant shift)."""
-    assert x.dtype != jnp.int8, \
-        "ABMIL consumes f32/bf16 features; dequantize int8 storage first " \
-        "(the engine does this for models without x_scale support)"
+def abmil_pool(x, mask, w1, b1, w2, b2, use_pallas: Optional[bool] = None,
+               x_scale: Optional[Array] = None):
+    """Fused pooled output [B, D] (b2 is a softmax-invariant shift).
+
+    int8 storage: pass the raw quantized features + per-patch `x_scale`;
+    the native int8 kernels stream 1 byte/feature and never materialise the
+    dequantized bag (weight grads only — stored features are data)."""
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() == "tpu"
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
+    if x.dtype == jnp.int8:
+        assert x_scale is not None, "int8 features need per-patch x_scale"
+        if use_pallas:
+            return _abmil_pool_tpu_q8(x, x_scale, mask, w1, b1, w2)
+        x = jax.lax.stop_gradient(dequantize_feats(x, x_scale))
+        return abmil_pool_reference(x, mask, w1, b1, w2, b2)[0]
     if use_pallas:
         return _abmil_pool_tpu(x, mask, w1, b1, w2)
     return abmil_pool_reference(x, mask, w1, b1, w2, b2)[0]
