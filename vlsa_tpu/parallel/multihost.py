@@ -33,7 +33,10 @@ def maybe_initialize_distributed(cfg: dict) -> bool:
     spec = cfg.get("distributed")
     if not spec:
         return False
-    if jax.process_count() > 1:
+    # NOTE: do NOT probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return True  # already initialized
     if spec == "auto":
         jax.distributed.initialize()
