@@ -71,9 +71,15 @@ class AttentionPooling(nn.Module):
     x [B, N, D], mask [B, N] -> (pooled [B, D], raw attention logits [B, N]).
     On TPU with `need_attn=False` the pooled output runs through the fused
     Pallas kernel (ops/abmil.py) and the [B, N, hid] intermediate never
-    touches HBM; `need_attn=True` takes the explicit path.
+    touches HBM; `need_attn=True` takes the explicit path.  With `sp_mesh`
+    set, the pool runs the explicit sequence-parallel shard_map path
+    (parallel.abmil_sp): patches sharded over `sp_axis`, bags over
+    `dp_axis`, one partial-softmax psum over ICI.
     """
     hid_dim: int = 512
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "model"
+    dp_axis: Optional[str] = "data"
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None, ret_raw_attn: bool = True,
@@ -88,6 +94,11 @@ class AttentionPooling(nn.Module):
         from ..ops import abmil as _abmil
         from vlsa_tpu.ops.abmil import pick_block
         import os as _os
+        if self.sp_mesh is not None and x.ndim == 3 and not need_attn:
+            from ..parallel.abmil_sp import abmil_pool_sp
+            pooled = abmil_pool_sp(x, mask, k1.T, b1, k2[:, 0], self.sp_mesh,
+                                   axis=self.sp_axis, batch_axis=self.dp_axis)
+            return pooled, None
         fused_ok = (x.ndim == 3 and not need_attn and x.shape[1] >= 256
                     and pick_block(x.shape[1]) is not None
                     and _os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")

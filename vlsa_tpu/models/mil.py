@@ -216,6 +216,11 @@ class DeepMIL(nn.Module):
     keep_ratio: float = 0.8
 
     accepts_x_scale = True
+    # sequence-parallel routing (parallel.abmil_sp): patches sharded over
+    # `sp_axis`, bags over `dp_axis`, one partial-softmax psum
+    sp_mesh: Any = None
+    sp_axis: str = "model"
+    dp_axis: Optional[str] = "data"
 
     @nn.compact
     def __call__(self, X, mask=None, ret_with_attn: bool = False, train: bool = False,
@@ -224,6 +229,7 @@ class DeepMIL(nn.Module):
         assert self.pred_head in ("default", "Adapter")
         del x_inv  # unnormalised pooling: the 1/l2norm sidecar is unused
         if X.dtype == jnp.int8 and (self.use_feat_proj
+                                    or self.sp_mesh is not None
                                     or self.pooling != "attention"):
             # the int8 fast path exists only for raw-feature attention
             # pooling (ops/abmil q8 kernels); anything transforming X first
@@ -245,8 +251,14 @@ class DeepMIL(nn.Module):
         elif self.pooling == "max":
             out_feat = masked_max(X, mask, axis=1)
         elif self.pooling == "attention":
-            out_feat, raw_attn = AttentionPooling(self.dim_hid, name="sigma")(
-                X, mask, need_attn=ret_with_attn, x_scale=x_scale)
+            x_in = X
+            if self.sp_mesh is not None and not self.use_feat_proj:
+                # raw stored features are data: skip the dX path entirely
+                x_in = jax.lax.stop_gradient(X)
+            out_feat, raw_attn = AttentionPooling(
+                self.dim_hid, name="sigma", sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis, dp_axis=self.dp_axis)(
+                x_in, mask, need_attn=ret_with_attn, x_scale=x_scale)
         else:
             out_feat, raw_attn = GatedAttentionPooling(
                 self.dim_hid, dropout=self.drop_rate, name="sigma")(X, mask, train=train)

@@ -216,16 +216,23 @@ class BaseHandler:
 
     @staticmethod
     def _route_seq_parallel(model, mesh):
-        """Bind the mesh into the VLFAN co-attention so it runs the explicit
-        sequence-parallel shard_map path (parallel.coattn_sp)."""
-        from ..models.mil import VLFAN
-        if isinstance(model, VLFAN):
+        """Bind the mesh into the model's pooling so it runs an explicit
+        sequence-parallel shard_map path: VLFAN co-attention
+        (parallel.coattn_sp) or ABMIL attention pooling
+        (parallel.abmil_sp)."""
+        from ..models.mil import DeepMIL, VLFAN
+
+        def routable(m):
+            return isinstance(m, VLFAN) or (
+                isinstance(m, DeepMIL) and m.pooling == "attention")
+
+        if routable(model):
             return model.clone(sp_mesh=mesh)
         mil = getattr(model, "mil_encoder", None)
-        if isinstance(mil, VLFAN):
+        if routable(mil):
             return model.clone(mil_encoder=mil.clone(sp_mesh=mesh))
-        print("[setup] seq_parallel: model has no VLFAN co-attention; "
-              "patch-axis sharding is left to XLA's SPMD partitioner")
+        print("[setup] seq_parallel: model has no VLFAN/ABMIL attention "
+              "pooling; patch-axis sharding is left to XLA's SPMD partitioner")
         return model
 
     uses_vl = False
