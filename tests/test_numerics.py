@@ -76,3 +76,70 @@ def test_all_padding_bag_row():
     sm = jnp.asarray([1.0, 1.0, 0.0])
     assert np.isfinite(float(surv_ifmle(probs, t, e, sample_mask=sm)))
     assert np.isfinite(float(surv_emd(probs, t, e, 100.0, sample_mask=sm)))
+
+
+def test_scan_tower_matches_unrolled():
+    """scan_layers=True (lax.scan over stacked layer params) is numerically
+    IDENTICAL to the unrolled tower, for values and gradients, across apis."""
+    import jax
+    import jax.numpy as jnp
+    from vlsa_tpu.models.text_encoder import TextTower, stack_resblock_params
+
+    rng = np.random.default_rng(0)
+    for api in ("CONCH", "CLIP"):
+        cfg = dict(width=64, heads=4, layers=3, context_length=16,
+                   vocab_size=101, output_dim=32, api=api)
+        loop = TextTower(**cfg)
+        scan = TextTower(scan_layers=True, **cfg)
+        K, L = 4, 12
+        emb = jnp.asarray(rng.normal(size=(K, L, 64)).astype(np.float32))
+        pt = np.zeros((K, L), np.int64)
+        for i in range(K):
+            n = int(rng.integers(4, L))
+            pt[i, :n] = np.arange(n) + 1
+        pt = jnp.asarray(pt)
+        p_loop = loop.init(jax.random.PRNGKey(0), emb, pt)["params"]
+        p_stack = stack_resblock_params(p_loop)
+        out_loop = loop.apply({"params": p_loop}, emb, pt)
+        out_scan = scan.apply({"params": p_stack}, emb, pt)
+        np.testing.assert_array_equal(np.asarray(out_loop), np.asarray(out_scan))
+
+        g_loop = jax.grad(lambda e: jnp.sum(
+            loop.apply({"params": p_loop}, e, pt) ** 2))(emb)
+        g_scan = jax.grad(lambda e: jnp.sum(
+            scan.apply({"params": p_stack}, e, pt) ** 2))(emb)
+        # scan transposes accumulate in reverse order -> last-ulp drift
+        np.testing.assert_allclose(np.asarray(g_scan), np.asarray(g_loop),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_scan_tower_precision_cast_and_tp_shardings():
+    """cast_frozen_tower_weights and param_shardings understand the stacked
+    `blocks` layout (bf16 only on the 3-D matmul weights; TP specs shifted
+    one axis right behind the layer axis)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from vlsa_tpu.models.precision import cast_frozen_tower_weights
+    from vlsa_tpu.models.text_encoder import TextTower
+    from vlsa_tpu.parallel import make_mesh, param_shardings
+    import jax.numpy as jnp
+
+    tower = TextTower(width=64, heads=4, layers=3, context_length=16,
+                      vocab_size=101, output_dim=32, api="CONCH",
+                      scan_layers=True)
+    emb = jnp.zeros((2, 12, 64))
+    pt = jnp.zeros((2, 12), jnp.int32).at[:, :4].set(jnp.arange(1, 5))
+    p = tower.init(jax.random.PRNGKey(0), emb, pt)["params"]
+    params = {"prompt_encoder": p}
+    cast = cast_frozen_tower_weights(params)["prompt_encoder"]["blocks"]
+    assert cast["c_fc_weight"].dtype == jnp.bfloat16
+    assert cast["attn"]["in_proj_weight"].dtype == jnp.bfloat16
+    assert cast["c_fc_bias"].dtype == jnp.float32
+    assert cast["ln_1"]["scale"].dtype == jnp.float32
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sh = param_shardings(params, mesh)["prompt_encoder"]["blocks"]
+    assert sh["c_fc_weight"].spec == P(None, "model", None)
+    assert sh["c_fc_bias"].spec == P(None, "model")
+    assert sh["c_proj_weight"].spec == P(None, None, "model")
+    assert sh["attn"]["in_proj_weight"].spec == P()

@@ -207,3 +207,23 @@ def test_seeded_run_determinism(tmp_path):
     h2.exec()
     for a, b in zip(jax.tree.leaves(h1.params), jax.tree.leaves(h2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vlsa_scan_tower_end_to_end(tmp_path):
+    """vlsa_txt_encoder_scan_layers: the stacked-layer lax.scan tower runs
+    the full VLSA training/eval lifecycle (frozen-tower filter, ckpt,
+    predictions) just like the unrolled layout."""
+    table, split = make_cohort(tmp_path, n_patients=20)
+    cfg = vlsa_cfg(tmp_path, table, split)
+    cfg.update({"save_path": str(tmp_path / "result-scan"), "epochs": 1,
+                "vlsa_txt_encoder_scan_layers": True})
+    handler = VLSAHandler(cfg)
+    params = dict(handler.params)
+    assert "blocks" in dict(params["prompt_encoder"]), \
+        "scan_layers should produce the stacked blocks layout"
+    metrics = handler.exec()
+    vals = dict(metrics["test"])
+    assert 0.0 <= vals["pred_c_index"] <= 1.0 and np.isfinite(vals["pred_loss"])
+    from vlsa_tpu.runner.ckpt import load_checkpoint
+    ck = load_checkpoint(os.path.join(cfg["save_path"], "train_model-last.ckpt"))
+    assert "prompt_encoder" not in ck["model"]

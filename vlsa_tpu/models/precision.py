@@ -38,5 +38,13 @@ def cast_frozen_tower_weights(params: Mapping, module: str = "prompt_encoder",
                 lambda t: t.astype(dtype)
                 if t.ndim == 2 and t.dtype == jnp.float32 else t,
                 dict(v))
+        elif k == "blocks":
+            # scan_layers layout: stacked [L, out, in] matmul weights
+            tower[k] = jax.tree_util.tree_map_with_path(
+                lambda path, t: t.astype(dtype)
+                if (t.ndim == 3 and t.dtype == jnp.float32
+                    and str(getattr(path[-1], "key", "")).endswith("weight"))
+                else t,
+                dict(v))
     params[module] = tower
     return params

@@ -16,7 +16,7 @@ matmuls that fuse onto the MXU.  GELU is exact (erf), matching torch nn.GELU.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Mapping, Optional
 
 import flax.linen as nn
 import jax
@@ -114,6 +114,30 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+class _ScanResidualBlock(ResidualAttentionBlock):
+    """nn.scan carrier: same math, (carry, None) return convention."""
+
+    @nn.compact
+    def __call__(self, x: Array, attn_mask: Optional[Array] = None):
+        return ResidualAttentionBlock.__call__(self, x, attn_mask), None
+
+
+def stack_resblock_params(tower_params: Mapping) -> dict:
+    """Convert per-layer `resblock_i` param subtrees to the stacked
+    `blocks` layout (leading layer axis) that `scan_layers=True` uses.
+    Non-resblock entries pass through."""
+    out = {k: v for k, v in tower_params.items()
+           if not k.startswith("resblock_")}
+    layer_keys = sorted((k for k in tower_params if k.startswith("resblock_")),
+                        key=lambda k: int(k.split("_")[-1]))
+    if layer_keys:
+        import numpy as _np
+        out["blocks"] = jax.tree.map(
+            lambda *leaves: _np.stack([_np.asarray(l) for l in leaves]),
+            *[tower_params[k] for k in layer_keys])
+    return out
+
+
 def causal_mask(L: int, dtype=jnp.float32) -> Array:
     m = jnp.full((L, L), NEG_INF, dtype)
     return jnp.triu(m, 1)
@@ -131,6 +155,13 @@ class TextTower(nn.Module):
     pad_id: int = 0
     dtype: str = "float32"
     remat: bool = False  # rematerialise blocks (trade FLOPs for memory)
+    # lax.scan over stacked per-layer params: one compiled block body
+    # instead of `layers` unrolled copies.  Collapses the tower's XLA
+    # op count ~layers-fold (the [K, L, D] tensors are small, so the
+    # unrolled tower is op-overhead-bound, not FLOP-bound — docs/PERF.md);
+    # params live under a single `blocks` subtree with a leading layer
+    # axis (stack_resblock_params converts the per-layer layout)
+    scan_layers: bool = False
 
     @property
     def max_num_tokens(self) -> int:
@@ -147,14 +178,27 @@ class TextTower(nn.Module):
         if self.api == "CONCH":
             self.cls_emb = self.param("cls_emb", nn.initializers.normal(0.01), (self.width,))
         quick = self.api in ("CLIP", "HF")  # OpenAI/HF CLIP towers use QuickGELU
-        block_cls = (nn.remat(ResidualAttentionBlock, static_argnums=())
-                     if self.remat else ResidualAttentionBlock)
-        self.blocks = [
-            block_cls(self.width, self.heads, quick_gelu=quick,
-                      compute_dtype=self.dtype,
-                      name=f"resblock_{i}")
-            for i in range(self.layers)
-        ]
+        if self.scan_layers:
+            scan_cls = (nn.remat(_ScanResidualBlock, static_argnums=())
+                        if self.remat else _ScanResidualBlock)
+            self.blocks_scan = nn.scan(
+                scan_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.layers,
+                in_axes=nn.broadcast,
+            )(self.width, self.heads, quick_gelu=quick,
+              compute_dtype=self.dtype, name="blocks")
+            self.blocks = []
+        else:
+            block_cls = (nn.remat(ResidualAttentionBlock, static_argnums=())
+                         if self.remat else ResidualAttentionBlock)
+            self.blocks = [
+                block_cls(self.width, self.heads, quick_gelu=quick,
+                          compute_dtype=self.dtype,
+                          name=f"resblock_{i}")
+                for i in range(self.layers)
+            ]
         self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")
         self.text_projection = self.param(
             "text_projection", nn.initializers.normal(self.width ** -0.5),
@@ -222,8 +266,11 @@ class TextTower(nn.Module):
         else:  # CLIP: causal only
             attn_mask = attn_mask[:seq_len, :seq_len]
             x = x + self.positional_embedding[:seq_len]
-        for blk in self.blocks:
-            x = blk(x, attn_mask)
+        if self.scan_layers:
+            x, _ = self.blocks_scan(x, attn_mask)
+        else:
+            for blk in self.blocks:
+                x = blk(x, attn_mask)
 
         if self.api == "CONCH":
             # per-token outputs (caption-decoder input) are PRE-ln_final in

@@ -91,9 +91,13 @@ def build_vlsa(
 
     overrides = dict(tower_overrides or {})
     # config surface: `vlsa_txt_encoder_dtype: bfloat16` selects bf16 MXU
-    # compute in the tower (f32 accumulation/softmax; see text_encoder.py)
+    # compute in the tower (f32 accumulation/softmax; see text_encoder.py);
+    # `vlsa_txt_encoder_scan_layers: true` scans stacked layer params
+    # (collapses the tower's XLA op count ~12x, same math)
     if text_encoder_cfg.get("dtype") and "dtype" not in overrides:
         overrides["dtype"] = text_encoder_cfg["dtype"]
+    if text_encoder_cfg.get("scan_layers") and "scan_layers" not in overrides:
+        overrides["scan_layers"] = bool(text_encoder_cfg["scan_layers"])
     tower = make_text_tower(vlsa_api, name=None, **overrides)
     tokenizer = Tokenizer(root=path_clip_model, name=text_encoder_cfg.get("name"),
                           api=vlsa_api, context_length=tower.context_length)
@@ -109,6 +113,10 @@ def build_vlsa(
                                        prompts_pseudo_tokens=dummy_pseudo)["params"]
     if vl_weights is not None:
         tower_params = vl_weights["text_params"] if "text_params" in vl_weights else vl_weights
+        if tower.scan_layers and "resblock_0" in tower_params:
+            # imported checkpoints arrive in the per-layer layout
+            from .text_encoder import stack_resblock_params
+            tower_params = stack_resblock_params(tower_params)
     emb_table = np.asarray(tower_params["token_embedding"])
 
     _encode_jit = None

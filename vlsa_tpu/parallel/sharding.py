@@ -88,6 +88,15 @@ def param_shardings(params, mesh: Mesh, tensor_parallel: bool = True):
                 return P("model")
             if leafname == "c_proj_weight":
                 return P(None, "model")   # [D, mlp_width] column-shard
+        if tensor_parallel and "blocks" in names:
+            # scan_layers layout: same TP split behind a leading layer axis
+            leafname = names[-1]
+            if leafname == "c_fc_weight":
+                return P(None, "model", None)   # [L, mlp_width, D]
+            if leafname == "c_fc_bias":
+                return P(None, "model")
+            if leafname == "c_proj_weight":
+                return P(None, None, "model")   # [L, D, mlp_width]
         return P()
 
     return jax.tree_util.tree_map_with_path(
