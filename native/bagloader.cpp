@@ -151,9 +151,227 @@ long load_bag_impl(const char* path, float* out, long max_rows, long expect_cols
   return rows;
 }
 
+// --------------------------------------------------------------------------
+// .q8npz support: numpy's savez container is an uncompressed (stored) ZIP
+// whose members are plain .npy files.  numpy writes zip64 local headers
+// (32-bit sizes = 0xFFFFFFFF, real sizes in the 0x0001 extra field), stored
+// method, no data descriptors — exactly what the walker below parses.  The
+// members of a pre-quantized store (data/convert.py / data/extract.py):
+//   q.npy     int8  [N, D]   quantized features
+//   scale.npy f32   [N]      per-patch dequant scales
+//   inv.npy   f32   [N]      per-patch 1/l2norm sidecar
+// --------------------------------------------------------------------------
+
+struct ZipMember {
+  long data_offset = 0;
+  long size = 0;
+};
+
+// Walk local file headers; fills q/scale/inv member spans. Returns false on
+// any unsupported feature (compression, data descriptors).
+bool locate_q8_members(FILE* f, ZipMember* q, ZipMember* scale, ZipMember* inv) {
+  if (fseek(f, 0, SEEK_SET) != 0) return false;
+  bool have_q = false;
+  while (true) {
+    unsigned char h[30];
+    if (fread(h, 1, 30, f) != 30) break;
+    uint32_t sig = h[0] | (h[1] << 8) | (h[2] << 16) | ((uint32_t)h[3] << 24);
+    if (sig != 0x04034b50) break;  // central directory reached (or junk)
+    uint16_t flags = h[6] | (h[7] << 8);
+    uint16_t method = h[8] | (h[9] << 8);
+    uint32_t csize32 = h[18] | (h[19] << 8) | (h[20] << 16) | ((uint32_t)h[21] << 24);
+    uint32_t usize32 = h[22] | (h[23] << 8) | (h[24] << 16) | ((uint32_t)h[25] << 24);
+    uint16_t fl = h[26] | (h[27] << 8);
+    uint16_t el = h[28] | (h[29] << 8);
+    if (method != 0 || (flags & 0x8)) return false;  // stored, no descriptor
+    std::string name(fl, '\0');
+    if (fread(&name[0], 1, fl, f) != fl) return false;
+    std::string extra(el, '\0');
+    if (el && fread(&extra[0], 1, el, f) != el) return false;
+    long csize = csize32;
+    if (csize32 == 0xFFFFFFFFu || usize32 == 0xFFFFFFFFu) {
+      // zip64 extra: id 0x0001, then uncompressed(8) + compressed(8)
+      bool found = false;
+      size_t p = 0;
+      while (p + 4 <= extra.size()) {
+        uint16_t id = (uint8_t)extra[p] | ((uint8_t)extra[p + 1] << 8);
+        uint16_t sz = (uint8_t)extra[p + 2] | ((uint8_t)extra[p + 3] << 8);
+        if (id == 0x0001 && sz >= 16) {
+          uint64_t u = 0, c = 0;
+          memcpy(&u, &extra[p + 4], 8);
+          memcpy(&c, &extra[p + 12], 8);
+          csize = (long)c;
+          (void)u;
+          found = true;
+          break;
+        }
+        p += 4 + sz;
+      }
+      if (!found) return false;
+    }
+    long data_off = ftell(f);
+    ZipMember m{data_off, csize};
+    if (name == "q.npy") { *q = m; have_q = true; }
+    else if (name == "scale.npy") *scale = m;
+    else if (name == "inv.npy") *inv = m;
+    if (fseek(f, data_off + csize, SEEK_SET) != 0) return false;
+  }
+  return have_q && scale->size > 0 && inv->size > 0;
+}
+
+// Parse the .npy header of a member at `m.data_offset`; expect_word_size
+// 1 (i1) or 4 (f4).
+NpyInfo parse_member_npy(FILE* f, const ZipMember& m, int expect_word_size) {
+  NpyInfo bad;
+  if (fseek(f, m.data_offset, SEEK_SET) != 0) return bad;
+  // reuse the main parser but accept i1 as well
+  unsigned char magic[8];
+  if (fread(magic, 1, 8, f) != 8) return bad;
+  if (memcmp(magic, "\x93NUMPY", 6) != 0) return bad;
+  int major = magic[6];
+  uint32_t header_len = 0;
+  long hdr_base = 10;
+  if (major == 1) {
+    unsigned char b[2];
+    if (fread(b, 1, 2, f) != 2) return bad;
+    header_len = b[0] | (b[1] << 8);
+  } else {
+    unsigned char b[4];
+    if (fread(b, 1, 4, f) != 4) return bad;
+    header_len = b[0] | (b[1] << 8) | (b[2] << 16) | ((uint32_t)b[3] << 24);
+    hdr_base = 12;
+  }
+  std::string header(header_len, '\0');
+  if (fread(&header[0], 1, header_len, f) != header_len) return bad;
+  if (header.find("'fortran_order': True") != std::string::npos) return bad;
+  NpyInfo info;
+  if (header.find("i1'") != std::string::npos) info.word_size = 1;
+  else if (header.find("<f4") != std::string::npos ||
+           header.find("|f4", 0) != std::string::npos) info.word_size = 4;
+  else return bad;
+  if (info.word_size != expect_word_size) return bad;
+  size_t sh = header.find("'shape':");
+  if (sh == std::string::npos) return bad;
+  size_t lp = header.find('(', sh);
+  size_t rp = header.find(')', sh);
+  if (lp == std::string::npos || rp == std::string::npos) return bad;
+  std::string shape = header.substr(lp + 1, rp - lp - 1);
+  long dims[4] = {0, 0, 0, 0};
+  int ndim = 0;
+  const char* p = shape.c_str();
+  while (*p && ndim < 4) {
+    while (*p == ' ' || *p == ',') p++;
+    if (*p == '\0') break;
+    dims[ndim++] = strtol(p, const_cast<char**>(&p), 10);
+  }
+  if (ndim == 1) { info.rows = dims[0]; info.cols = 1; }
+  else if (ndim == 2) { info.rows = dims[0]; info.cols = dims[1]; }
+  else return bad;
+  info.data_offset = m.data_offset + hdr_base + header_len;
+  info.ok = true;
+  return info;
+}
+
+// Read up to max_rows quantized rows (+sidecars); returns rows or <0.
+long load_q8_impl(const char* path, int8_t* q_out, float* scale_out,
+                  float* inv_out, long max_rows, long expect_cols) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  ZipMember mq, ms, mi;
+  if (!locate_q8_members(f, &mq, &ms, &mi)) { fclose(f); return -2; }
+  NpyInfo iq = parse_member_npy(f, mq, 1);
+  if (!iq.ok || (expect_cols > 0 && iq.cols != expect_cols)) { fclose(f); return -3; }
+  NpyInfo is = parse_member_npy(f, ms, 4);
+  NpyInfo ii = parse_member_npy(f, mi, 4);
+  if (!is.ok || !ii.ok || is.rows != iq.rows || ii.rows != iq.rows) {
+    fclose(f);
+    return -4;
+  }
+  long rows = iq.rows < max_rows ? iq.rows : max_rows;
+  if (fseek(f, iq.data_offset, SEEK_SET) != 0 ||
+      (long)fread(q_out, 1, rows * iq.cols, f) != rows * iq.cols) {
+    fclose(f);
+    return -5;
+  }
+  if (fseek(f, is.data_offset, SEEK_SET) != 0 ||
+      (long)fread(scale_out, 4, rows, f) != rows) { fclose(f); return -6; }
+  if (fseek(f, ii.data_offset, SEEK_SET) != 0 ||
+      (long)fread(inv_out, 4, rows, f) != rows) { fclose(f); return -7; }
+  fclose(f);
+  return rows;
+}
+
 }  // namespace
 
 extern "C" {
+
+int bl_read_q8_info(const char* path, long* rows, long* cols) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  ZipMember mq, ms, mi;
+  if (!locate_q8_members(f, &mq, &ms, &mi)) { fclose(f); return -2; }
+  NpyInfo iq = parse_member_npy(f, mq, 1);
+  fclose(f);
+  if (!iq.ok) return -3;
+  *rows = iq.rows;
+  *cols = iq.cols;
+  return 0;
+}
+
+// Assemble a padded int8 batch with sidecars from ';'-joined .q8npz paths.
+//   out_q:     [n_bags, target_n, dim] int8
+//   out_scale: [n_bags, target_n] f32
+//   out_inv:   [n_bags, target_n] f32
+//   out_mask:  [n_bags, target_n] u8
+int bl_assemble_q8_batch(const char** paths, long n_bags, long target_n,
+                         long dim, int8_t* out_q, float* out_scale,
+                         float* out_inv, uint8_t* out_mask, long* out_len,
+                         int n_threads) {
+  std::atomic<long> next(0);
+  std::atomic<int> err(0);
+
+  auto worker = [&]() {
+    while (true) {
+      long b = next.fetch_add(1);
+      if (b >= n_bags) break;
+      int8_t* qd = out_q + b * target_n * dim;
+      float* sd = out_scale + b * target_n;
+      float* id = out_inv + b * target_n;
+      uint8_t* msk = out_mask + b * target_n;
+      memset(qd, 0, target_n * dim);
+      memset(sd, 0, sizeof(float) * target_n);
+      memset(id, 0, sizeof(float) * target_n);
+      memset(msk, 0, target_n);
+      long written = 0;
+      std::string multi(paths[b]);
+      size_t start = 0;
+      while (start < multi.size() && written < target_n) {
+        size_t sep = multi.find(';', start);
+        std::string one = multi.substr(
+            start, sep == std::string::npos ? std::string::npos : sep - start);
+        if (!one.empty()) {
+          long r = load_q8_impl(one.c_str(), qd + written * dim, sd + written,
+                                id + written, target_n - written, dim);
+          if (r < 0) {
+            err.store((int)r);
+            break;
+          }
+          written += r;
+        }
+        if (sep == std::string::npos) break;
+        start = sep + 1;
+      }
+      out_len[b] = written;
+      for (long i = 0; i < written; i++) msk[i] = 1;
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads : 4;
+  std::vector<std::thread> threads;
+  for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return err.load();
+}
 
 int bl_read_npy_info(const char* path, long* rows, long* cols) {
   FILE* f = fopen(path, "rb");

@@ -80,12 +80,16 @@ class SurvBagDataset:
         return read_patch_data(full_path).shape[0]
 
     def bag_paths(self, index: int):
-        """Per-bag .npy file list for the native loader (None when the store
-        is not native-readable)."""
-        if self.read_format != "npy" or str(self.read_path).startswith(SYNTHETIC_PREFIX):
+        """Per-bag file list for the native loader — .npy f32 stores or
+        .q8npz pre-quantized stores (None when the store is not
+        native-readable)."""
+        if (self.mode != "patch"  # cluster/graph aux arrays need the numpy path
+                or self.read_format not in ("npy", "q8npz")
+                or str(self.read_path).startswith(SYNTHETIC_PREFIX)):
             return None
         pid = self.pids[index]
-        return [osp.join(self.read_path, sid + ".npy") for sid in self.pid2sids[pid]]
+        return [osp.join(self.read_path, sid + "." + self.read_format)
+                for sid in self.pid2sids[pid]]
 
     def bag_label(self, index: int):
         return np.asarray(self.pid2label[self.pids[index]], dtype=np.float32)

@@ -60,6 +60,16 @@ def get_lib():
         ctypes.POINTER(ctypes.c_long), ctypes.c_int,
     ]
     lib.bl_assemble_batch.restype = ctypes.c_int
+    lib.bl_read_q8_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                                    ctypes.POINTER(ctypes.c_long)]
+    lib.bl_read_q8_info.restype = ctypes.c_int
+    lib.bl_assemble_q8_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+    ]
+    lib.bl_assemble_q8_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -103,3 +113,45 @@ def read_npy_info(path: str):
     if rc != 0:
         raise IOError(f"cannot parse npy header of {path} (rc={rc})")
     return int(rows.value), int(cols.value)
+
+
+def read_q8_info(path: str):
+    """(rows, cols) of a .q8npz pre-quantized store's q member."""
+    lib = get_lib()
+    assert lib is not None
+    rows = ctypes.c_long()
+    cols = ctypes.c_long()
+    rc = lib.bl_read_q8_info(path.encode(), ctypes.byref(rows), ctypes.byref(cols))
+    if rc != 0:
+        raise IOError(f"cannot parse q8npz {path} (rc={rc})")
+    return int(rows.value), int(cols.value)
+
+
+def assemble_q8_batch(path_groups: List[List[str]], target_n: int, dim: int,
+                      n_threads: int = 8):
+    """Threaded native assembly of one padded int8 batch from `.q8npz`
+    stores (uncompressed npz zip members parsed directly in C++).
+
+    Returns (q [B, target_n, dim] int8, scale [B, target_n] f32,
+    inv [B, target_n] f32, mask [B, target_n] bool, lens [B])."""
+    lib = get_lib()
+    assert lib is not None, "native loader unavailable"
+    B = len(path_groups)
+    q = np.empty((B, target_n, dim), np.int8)
+    scale = np.empty((B, target_n), np.float32)
+    inv = np.empty((B, target_n), np.float32)
+    mask = np.empty((B, target_n), np.uint8)
+    lens = np.empty((B,), np.int64)
+    joined = [";".join(g).encode() for g in path_groups]
+    arr = (ctypes.c_char_p * B)(*joined)
+    rc = lib.bl_assemble_q8_batch(
+        arr, B, target_n, dim,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n_threads)
+    if rc != 0:
+        raise IOError(f"native q8 batch assembly failed with code {rc}")
+    return q, scale, inv, mask.astype(bool), lens

@@ -198,7 +198,10 @@ class BagBatcher:
             return batch
         native = self._try_native_batch(indices)
         if native is not None:
-            self._cast_feats(native)
+            if "feats_scale" not in native:
+                # q8 native batches arrive pre-quantized with sidecars;
+                # re-quantizing int8 data would destroy the scales
+                self._cast_feats(native)
             return native
         items = [self.dataset[int(i)] for i in indices]
         feats_list = [it[1][0] for it in items]
@@ -277,41 +280,62 @@ class BagBatcher:
         return batch
 
     def _try_native_batch(self, indices):
-        """Native C++ threaded assembly for .npy feature stores."""
+        """Native C++ threaded assembly for .npy (f32) and .q8npz (int8 +
+        sidecars) feature stores."""
         ds = self.dataset
         if not hasattr(ds, "bag_paths"):
             return None
         groups = [ds.bag_paths(int(i)) for i in indices]
         if any(g is None for g in groups):
             return None
+        q8 = groups[0][0].endswith(".q8npz")
+        if q8 and self.feats_dtype != "int8":
+            # a different compute dtype wants dequantized features; the
+            # numpy path handles that conversion
+            return None
         try:
-            from .native_loader import assemble_batch, native_available, read_npy_info
+            from .native_loader import (
+                assemble_batch, assemble_q8_batch, native_available,
+                read_npy_info, read_q8_info)
             if not native_available():
                 return None
+            read_info = read_q8_info if q8 else read_npy_info
             sizes = None
             if self.fixed_bucket is None or self.overflow != "truncate":
                 sizes, dim = [], None
                 for g in groups:
                     n = 0
                     for path in g:
-                        r, c = read_npy_info(path)
+                        r, c = read_info(path)
                         n += r
                         dim = c
                     sizes.append(n)
             if self.fixed_bucket is not None:
                 target_n = self.fixed_bucket
-                dim = read_npy_info(groups[0][0])[1]
+                dim = read_info(groups[0][0])[1]
             else:
                 target_n = bucket_length(max(sizes), self.min_bucket, self.max_bucket)
             if sizes is not None:
                 for n in sizes:
                     self._count_overflow(n, target_n)
             B = self._local_bs
-            feats_n, mask_n, lens = assemble_batch(groups, target_n, dim)
-            feats = np.zeros((B, target_n, dim), np.float32)
-            mask = np.zeros((B, target_n), np.bool_)
-            feats[:len(groups)] = feats_n
-            mask[:len(groups)] = mask_n
+            if q8:
+                q_n, scale_n, inv_n, mask_n, lens = assemble_q8_batch(
+                    groups, target_n, dim)
+                feats = np.zeros((B, target_n, dim), np.int8)
+                fscale = np.zeros((B, target_n), np.float32)
+                finv = np.zeros((B, target_n), np.float32)
+                mask = np.zeros((B, target_n), np.bool_)
+                feats[:len(groups)] = q_n
+                fscale[:len(groups)] = scale_n
+                finv[:len(groups)] = inv_n
+                mask[:len(groups)] = mask_n
+            else:
+                feats_n, mask_n, lens = assemble_batch(groups, target_n, dim)
+                feats = np.zeros((B, target_n, dim), np.float32)
+                mask = np.zeros((B, target_n), np.bool_)
+                feats[:len(groups)] = feats_n
+                mask[:len(groups)] = mask_n
             t = np.zeros(B, np.float32)
             e = np.zeros(B, np.float32)
             idx = np.full(B, -1, np.int32)
@@ -321,8 +345,15 @@ class BagBatcher:
                 t[j], e[j] = lab[0], lab[1]
                 idx[j] = int(i)
                 valid[j] = True
-            return {"feats": feats, "mask": mask, "t": t, "e": e,
-                    "idx": idx, "valid": valid}
+            batch = {"feats": feats, "mask": mask, "t": t, "e": e,
+                     "idx": idx, "valid": valid}
+            if q8:
+                batch["feats_scale"] = fscale
+                # same pytree structure as _make_batch/_cast_feats (multi-
+                # host desync guard: ADVICE r2)
+                if self.precompute_inv:
+                    batch["feats_inv"] = finv
+            return batch
         except BagOverflowError:
             raise
         except Exception as exc:
