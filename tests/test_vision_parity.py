@@ -181,3 +181,47 @@ def test_conch_visual_and_generate_smoke():
     for row in caps:
         eos_pos = int(np.argmax(row == 2))
         assert (row[eos_pos + 1:] == 0).all()
+
+
+def test_vision_tower_bf16_weight_precast_identical():
+    """cast_vision_tower_weights pre-rounds exactly the tensors the bf16
+    towers cast in-graph anyway, so outputs must be BIT-IDENTICAL; poolers,
+    LN params, embeddings and biases stay f32 (extraction-path counterpart
+    of test_frozen_tower_bf16_weight_storage_identical)."""
+    from vlsa_tpu.models.precision import cast_vision_tower_weights
+    from vlsa_tpu.models.vision_tower import CLIPViT, ConchVisualModel
+
+    # --- CONCH (timm trunk + attentional poolers) ---
+    vm = ConchVisualModel(embed_dim_contrast=16, embed_dim_caption=32,
+                          image_size=32, patch_size=16, width=32, layers=2,
+                          heads=4, n_queries_caption=8,
+                          compute_dtype="bfloat16")
+    imgs = jnp.asarray(RNG.normal(size=(2, 3, 32, 32)).astype(np.float32))
+    vp = vm.init(jax.random.PRNGKey(0), imgs)["params"]
+    want = vm.apply({"params": vp}, imgs,
+                    method=ConchVisualModel.forward_no_head)
+    cast = cast_vision_tower_weights(vp)
+    got = vm.apply({"params": cast}, imgs,
+                   method=ConchVisualModel.forward_no_head)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+    assert cast["trunk"]["patch_embed_weight"].dtype == jnp.bfloat16
+    assert cast["trunk"]["block_0"]["qkv_weight"].dtype == jnp.bfloat16
+    assert cast["trunk"]["block_0"]["qkv_bias"].dtype == jnp.float32
+    assert cast["trunk"]["block_0"]["norm1"]["scale"].dtype == jnp.float32
+    # the f32-compute attentional poolers are untouched
+    chex_untouched = jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()
+                          and a.dtype == b.dtype),
+        vp["attn_pool_contrast"], cast["attn_pool_contrast"])
+    assert all(jax.tree.leaves(chex_untouched))
+
+    # --- CLIP ViT (text-tower resblocks + f32 stem) ---
+    vit = CLIPViT(input_resolution=32, patch_size=8, width=32, layers=2,
+                  heads=4, output_dim=16, compute_dtype="bfloat16")
+    p = vit.init(jax.random.PRNGKey(1), imgs)["params"]
+    want = vit.apply({"params": p}, imgs)
+    cast = cast_vision_tower_weights(p)
+    got = vit.apply({"params": cast}, imgs)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+    assert cast["resblock_0"]["attn"]["in_proj_weight"].dtype == jnp.bfloat16
+    assert cast["conv1_weight"].dtype == jnp.float32

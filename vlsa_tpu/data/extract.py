@@ -172,6 +172,13 @@ class FeatureExtractor:
         else:
             params = model.init(jax.random.PRNGKey(seed), dummy)["params"]
 
+        if jnp.dtype(compute_dtype) == jnp.bfloat16:
+            # The tower is frozen: pre-cast its matmul/conv weights once
+            # (bit-identical to the in-graph per-step cast, and halves the
+            # tower's weight HBM traffic).
+            from ..models.precision import cast_vision_tower_weights
+            params = cast_vision_tower_weights(params)
+
         def fwd(p, x):
             return model.apply({"params": p}, x, **apply_kwargs)
 

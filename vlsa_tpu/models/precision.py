@@ -48,3 +48,37 @@ def cast_frozen_tower_weights(params: Mapping, module: str = "prompt_encoder",
                 dict(v))
     params[module] = tower
     return params
+
+
+def cast_vision_tower_weights(params: Mapping, dtype=jnp.bfloat16) -> dict:
+    """Pre-cast a frozen VISION tower's matmul/conv weights to `dtype`.
+
+    Covers exactly the tensors the modules already cast in-graph (so the
+    result is bit-identical, the rounding just happens once at load):
+
+      * ConchVisualModel: `trunk.patch_embed_weight` (4-D conv, computed in
+        compute_dtype) and each `trunk.block_i`'s 2-D `*_weight`
+        (qkv/proj/fc1/fc2).  The attentional poolers compute f32 and keep
+        f32 weights; LN params / embeddings / biases stay f32.
+      * CLIPViT: each `resblock_i`'s 2-D f32 `*_weight` (same rule as the
+        text tower, whose ResidualAttentionBlock the ViT reuses).  The
+        stem conv runs f32 and keeps f32 weights.
+    """
+    def cast_block(block: Mapping) -> dict:
+        return jax.tree.map(
+            lambda t: t.astype(dtype)
+            if t.ndim == 2 and t.dtype == jnp.float32 else t, dict(block))
+
+    params = dict(params)
+    if "trunk" in params:  # ConchVisualModel
+        trunk = dict(params["trunk"])
+        for k, v in trunk.items():
+            if k.startswith("block_"):
+                trunk[k] = cast_block(v)
+            elif k == "patch_embed_weight" and v.dtype == jnp.float32:
+                trunk[k] = v.astype(dtype)
+        params["trunk"] = trunk
+    for k, v in params.items():  # CLIPViT
+        if k.startswith("resblock_"):
+            params[k] = cast_block(v)
+    return params
