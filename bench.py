@@ -324,6 +324,9 @@ def main():
             vparams = jax.jit(lambda k: vit.init(
                 k, imgs0[:1], method=ConchVisualModel.forward_no_head
             )["params"])(jax.random.PRNGKey(0))
+            # production extractor path: frozen weights pre-cast to bf16
+            from vlsa_tpu.models.precision import cast_vision_tower_weights
+            vparams = cast_vision_tower_weights(vparams)
 
             def extract_scan(p, imgs):
                 def body(chain, _):

@@ -1,0 +1,118 @@
+"""On-chip validation of the extraction tower's flash-attention path.
+
+The ViT trunk routes self-attention through the fused Pallas flash kernel
+only when running on TPU (`vision_tower._use_flash_attention`), so the
+CPU-pinned test suite cannot exercise it.  This script runs on the real
+chip and checks both halves of the claim:
+
+  * numerics — flash vs dense outputs on the same bf16 tower agree to
+    bf16 reordering tolerance (relative to the output scale),
+  * performance — flash does not lose to dense XLA attention (guards
+    against block-size regressions like the 128-everywhere default,
+    which is ~1.7x SLOWER than dense at ViT lengths).
+
+Writes EXTRACT_CHIP.json next to the repo root and exits non-zero on
+either failure.  Timing note: over the axon tunnel `block_until_ready`
+does not force execution — throughput is measured with a lax.scan of EN
+forwards inside one jit, synced by consuming the output.
+
+Usage: python scripts/validate_extraction_chip.py [--batch 64] [--scan 6]
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--scan", type=int, default=6)
+    ap.add_argument("--rtol", type=float, default=5e-3,
+                    help="max |flash-dense| as a fraction of max|dense|")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vlsa_tpu.models.precision import cast_vision_tower_weights
+    from vlsa_tpu.models.vision_tower import ConchVisualModel
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"skipped": f"backend={jax.default_backend()}"}))
+        return 0
+
+    vit = ConchVisualModel(image_size=448, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(4, 3, 448, 448)).astype(np.float32))
+    params = jax.jit(lambda k: vit.init(
+        k, imgs[:1], method=ConchVisualModel.forward_no_head
+    )["params"])(jax.random.PRNGKey(0))
+    params = cast_vision_tower_weights(params)
+
+    fwd = lambda p, x: vit.apply({"params": p}, x,
+                                 method=ConchVisualModel.forward_no_head)
+
+    # numerics: flash (default on tpu) vs dense (env-disabled, retraced)
+    os.environ.pop("VLSA_TPU_DISABLE_PALLAS", None)
+    flash_out = np.asarray(jax.jit(fwd)(params, imgs))
+    os.environ["VLSA_TPU_DISABLE_PALLAS"] = "1"
+    dense_out = np.asarray(jax.jit(lambda p, x: fwd(p, x))(params, imgs))
+    scale = float(np.abs(dense_out).max())
+    max_dev = float(np.abs(flash_out - dense_out).max())
+    numerics_ok = max_dev <= args.rtol * scale
+
+    # throughput: scan-of-EN forwards inside one jit, both attention paths
+    def timed(disable: bool) -> float:
+        if disable:
+            os.environ["VLSA_TPU_DISABLE_PALLAS"] = "1"
+        else:
+            os.environ.pop("VLSA_TPU_DISABLE_PALLAS", None)
+        big = jnp.asarray(rng.normal(
+            size=(args.batch, 3, 448, 448)).astype(np.float32))
+
+        def scan_fwd(p, x):
+            def body(chain, _):
+                out = fwd(p, x + chain * 1e-30)
+                return out[0, 0], out
+            _, outs = jax.lax.scan(body, jnp.float32(0.0),
+                                   jnp.arange(args.scan))
+            return outs[-1]
+
+        jfn = jax.jit(scan_fwd)
+        _ = float(jfn(params, big).sum())  # warm/compile
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(jfn(params, big).sum())
+            best = min(best, (time.perf_counter() - t0) / args.scan)
+        return best
+
+    t_flash = timed(False)
+    t_dense = timed(True)
+    perf_ok = t_flash <= t_dense * 1.02  # flash must not lose (2% noise)
+
+    result = {
+        "numerics": {"max_abs_dev": max_dev, "out_scale": scale,
+                     "rel_dev": max_dev / scale, "ok": numerics_ok},
+        "throughput": {
+            "flash_tiles_per_sec": round(args.batch / t_flash, 1),
+            "dense_tiles_per_sec": round(args.batch / t_dense, 1),
+            "flash_speedup": round(t_dense / t_flash, 3), "ok": perf_ok},
+        "batch": args.batch, "ok": numerics_ok and perf_ok,
+    }
+    out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                   "EXTRACT_CHIP.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
