@@ -97,6 +97,40 @@ def main():
     t_dense = timed(True)
     perf_ok = t_flash <= t_dense * 1.02  # flash must not lose (2% noise)
 
+    # bf16 residual stream (the extraction default for bf16 compute):
+    # numerics vs the f32-residual flash tower + throughput A/B.
+    os.environ.pop("VLSA_TPU_DISABLE_PALLAS", None)
+    vit_r16 = ConchVisualModel(image_size=448, compute_dtype="bfloat16",
+                               trunk_residual_dtype="bfloat16")
+    fwd_r16 = lambda p, x: vit_r16.apply(
+        {"params": p}, x, method=ConchVisualModel.forward_no_head)
+    r16_out = np.asarray(jax.jit(fwd_r16)(params, imgs))
+    r16_dev = float(np.abs(r16_out - flash_out).max())
+    r16_numerics_ok = r16_dev <= 4 * args.rtol * scale
+
+    big = jnp.asarray(rng.normal(
+        size=(args.batch, 3, 448, 448)).astype(np.float32))
+
+    def timed_fwd(fn) -> float:
+        def scan_fwd(p, x):
+            def body(chain, _):
+                out = fn(p, x + chain * 1e-30)
+                return out[0, 0], out
+            _, outs = jax.lax.scan(body, jnp.float32(0.0),
+                                   jnp.arange(args.scan))
+            return outs[-1]
+        jfn = jax.jit(scan_fwd)
+        _ = float(jfn(params, big).sum())
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(jfn(params, big).sum())
+            best = min(best, (time.perf_counter() - t0) / args.scan)
+        return best
+
+    t_r16 = timed_fwd(fwd_r16)
+    r16_perf_ok = t_r16 <= t_flash * 1.02  # must not lose to f32 residual
+
     result = {
         "numerics": {"max_abs_dev": max_dev, "out_scale": scale,
                      "rel_dev": max_dev / scale, "ok": numerics_ok},
@@ -104,7 +138,13 @@ def main():
             "flash_tiles_per_sec": round(args.batch / t_flash, 1),
             "dense_tiles_per_sec": round(args.batch / t_dense, 1),
             "flash_speedup": round(t_dense / t_flash, 3), "ok": perf_ok},
-        "batch": args.batch, "ok": numerics_ok and perf_ok,
+        "residual_bf16": {
+            "rel_dev_vs_f32_residual": r16_dev / scale,
+            "tiles_per_sec": round(args.batch / t_r16, 1),
+            "speedup_vs_f32_residual": round(t_flash / t_r16, 3),
+            "ok": r16_numerics_ok and r16_perf_ok},
+        "batch": args.batch,
+        "ok": numerics_ok and perf_ok and r16_numerics_ok and r16_perf_ok,
     }
     out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                    "EXTRACT_CHIP.json")

@@ -351,3 +351,47 @@ def test_extract_cli_synthetic(tmp_path):
     assert stats["slides"] == 1 and stats["tiles"] == 6
     files = os.listdir(out)
     assert any(f.endswith(".npy") for f in files)
+
+
+def test_bf16_residual_stream_close_to_f32():
+    """The opt-in bf16-residual trunk stays
+    close to the f32-residual reference path: the stream itself rounds to
+    bf16 between ops, but LN statistics and matmul accumulation remain f32,
+    so the 512-d features deviate only at bf16 rounding scale."""
+    import jax
+    import jax.numpy as jnp
+    from vlsa_tpu.models.vision_tower import ConchVisualModel
+
+    imgs = jnp.asarray(RNG.normal(size=(2, 3, 32, 32)).astype(np.float32))
+    base = ConchVisualModel(image_size=32, compute_dtype="float32",
+                            **SMALL_CONCH)
+    p = base.init(jax.random.PRNGKey(0), imgs)["params"]
+    want = np.asarray(base.apply(
+        {"params": p}, imgs, method=ConchVisualModel.forward_no_head))
+    lowp = ConchVisualModel(image_size=32, compute_dtype="bfloat16",
+                            trunk_residual_dtype="bfloat16", **SMALL_CONCH)
+    got = np.asarray(lowp.apply(
+        {"params": p}, imgs, method=ConchVisualModel.forward_no_head))
+    scale = float(np.abs(want).max())
+    assert float(np.abs(got - want).max()) <= 2e-2 * scale
+
+
+def test_extractor_residual_dtype_plumbing():
+    """The default extractor keeps the exact f32 residual stream (a bf16
+    stream measured perf-NEUTRAL on-chip, EXTRACT_CHIP.json); the explicit
+    `residual_dtype="bfloat16"` opt-in must produce the same feature shape
+    and only bf16-rounding-scale deviations."""
+    from vlsa_tpu.data.extract import FeatureExtractor
+
+    kw = dict(model_name="conch", image_size=32, batch_size=2,
+              model_overrides=dict(SMALL_CONCH))
+    tiles = RNG.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+    default_ex = FeatureExtractor(compute_dtype="float32", **kw)
+    a = default_ex.extract(tiles)
+    lowp_ex = FeatureExtractor(compute_dtype="float32",
+                               residual_dtype="bfloat16", **kw)
+    b = lowp_ex.extract(tiles)
+    assert a.shape == b.shape == (3, SMALL_CONCH["embed_dim_contrast"])
+    scale = float(np.abs(a).max())
+    dev = float(np.abs(a - b).max())
+    assert 0 < dev <= 2e-2 * scale  # different stream, close output

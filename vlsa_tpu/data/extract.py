@@ -135,6 +135,7 @@ class FeatureExtractor:
                  image_size: int = 448,
                  batch_size: int = 64,
                  compute_dtype: str = "bfloat16",
+                 residual_dtype: Optional[str] = None,
                  seed: int = 0,
                  model_overrides: Optional[dict] = None):
         import jax
@@ -149,6 +150,13 @@ class FeatureExtractor:
         dummy = jnp.zeros((1, 3, self.image_size, self.image_size), jnp.float32)
         overrides = dict(model_overrides or {})
         if model_name == "conch":
+            # Residual stream dtype: f32 default.  A bf16 stream was measured
+            # on-chip as perf-NEUTRAL (0.998x, EXTRACT_CHIP.json
+            # `residual_bf16` — the trunk is compute/op-bound, not
+            # activation-HBM-bound), so the default keeps the exact-residual
+            # numerics; `residual_dtype="bfloat16"` stays available.
+            if residual_dtype is not None:
+                overrides.setdefault("trunk_residual_dtype", residual_dtype)
             model = ConchVisualModel(image_size=self.image_size,
                                      compute_dtype=compute_dtype, **overrides)
             apply_kwargs = {"method": ConchVisualModel.forward_no_head}

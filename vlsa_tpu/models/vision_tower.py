@@ -337,11 +337,19 @@ def _flash_self_attention(q: Array, k: Array, v: Array) -> Array:
 
 
 class TimmViTBlock(nn.Module):
-    """timm vision_transformer.Block (pre-LN, fused qkv Linear, GELU MLP)."""
+    """timm vision_transformer.Block (pre-LN, fused qkv Linear, GELU MLP).
+
+    `residual_dtype` sets the dtype the residual stream is carried in
+    between ops.  float32 (default) reproduces the reference bit-for-bit
+    up to matmul rounding; bfloat16 halves the activation HBM traffic of
+    the frozen extraction forward (LayerNorm statistics still run in f32
+    via flax's promotion, matmuls still accumulate f32 — only the
+    carried stream and the residual adds round to bf16)."""
     width: int
     heads: int
     mlp_ratio: float = 4.0
     compute_dtype: str = "float32"
+    residual_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -349,6 +357,7 @@ class TimmViTBlock(nn.Module):
         hd = D // H
         B, L, _ = x.shape
         cdt = jnp.dtype(self.compute_dtype)
+        rdt = jnp.dtype(self.residual_dtype)
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         qkv_w = self.param("qkv_weight", nn.initializers.lecun_normal(), (3 * D, D))
         qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * D,))
@@ -370,7 +379,8 @@ class TimmViTBlock(nn.Module):
                              preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
         x = x + (jnp.dot(ctx.astype(cdt), proj_w.T.astype(cdt),
-                         preferred_element_type=jnp.float32) + proj_b)
+                         preferred_element_type=jnp.float32)
+                 + proj_b).astype(rdt)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         mlp_w1 = self.param("fc1_weight", nn.initializers.lecun_normal(),
                             (int(D * self.mlp_ratio), D))
@@ -381,7 +391,8 @@ class TimmViTBlock(nn.Module):
         hid = _gelu(jnp.dot(h.astype(cdt), mlp_w1.T.astype(cdt),
                             preferred_element_type=jnp.float32) + mlp_b1)
         return x + (jnp.dot(hid.astype(cdt), mlp_w2.T.astype(cdt),
-                            preferred_element_type=jnp.float32) + mlp_b2)
+                            preferred_element_type=jnp.float32)
+                    + mlp_b2).astype(rdt)
 
 
 class TimmViTTrunk(nn.Module):
@@ -394,6 +405,7 @@ class TimmViTTrunk(nn.Module):
     layers: int = 12
     heads: int = 12
     compute_dtype: str = "float32"
+    residual_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, images: Array) -> Array:
@@ -417,9 +429,10 @@ class TimmViTTrunk(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, n_tok + 1, D))
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, D)), x], axis=1)
-        x = x + pos
+        x = (x + pos).astype(jnp.dtype(self.residual_dtype))
         for i in range(self.layers):
             x = TimmViTBlock(D, self.heads, compute_dtype=self.compute_dtype,
+                             residual_dtype=self.residual_dtype,
                              name=f"block_{i}")(x)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)  # [B, 1+N, D]
 
@@ -474,12 +487,14 @@ class ConchVisualModel(nn.Module):
     n_queries_caption: int = 256
     output_tokens: bool = True
     compute_dtype: str = "float32"
+    trunk_residual_dtype: str = "float32"
 
     def setup(self):
         self.trunk = TimmViTTrunk(
             image_size=self.image_size, patch_size=self.patch_size,
             width=self.width, layers=self.layers, heads=self.heads,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            residual_dtype=self.trunk_residual_dtype)
         self.attn_pool_contrast = AttentionalPooler(
             self.embed_dim_contrast, self.width, self.attn_pooler_heads,
             self.n_queries_contrast)
