@@ -45,6 +45,10 @@ def get_args():
     p.add_argument("--image_size", type=int, default=448)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="shard each tile batch over this many chips "
+                        "(params replicated, batch split — linear scaling); "
+                        "default: single device")
     p.add_argument("--coord_dir", type=str, default=None,
                    help="where to write coords .h5 (default: --out)")
     p.add_argument("--synthetic", type=int, default=0,
@@ -81,7 +85,8 @@ def main():
     extractor = FeatureExtractor(
         model_name=args.model, checkpoint=args.ckpt,
         image_size=args.image_size, batch_size=args.batch,
-        compute_dtype=args.dtype, seed=args.seed)
+        compute_dtype=args.dtype, num_devices=args.num_devices,
+        seed=args.seed)
     stats = extract_to_store(source, args.out, extractor, fmt=args.format,
                              coord_dir=args.coord_dir)
     stats.update(model=args.model, format=args.format,

@@ -17,6 +17,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the quick tier is dominated by XLA:CPU
+# compiles of the jitted train/eval engines (the synthetic cohorts are
+# cheap), so re-runs hit the cache keyed on the HLO hash — code changes
+# invalidate exactly the programs they change.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VLSA_TPU_TEST_CACHE",
+                                 "/root/.cache/jax_test_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_ROOT = "/root/reference"
 
 

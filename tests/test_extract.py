@@ -395,3 +395,25 @@ def test_extractor_residual_dtype_plumbing():
     scale = float(np.abs(a).max())
     dev = float(np.abs(a - b).max())
     assert 0 < dev <= 2e-2 * scale  # different stream, close output
+
+
+def test_extractor_multi_device_matches_single():
+    """Sharded extraction (batch axis over a 1-D data mesh, params
+    replicated) must reproduce the single-device features — including the
+    zero-padded ragged tail batch — and reject a batch size the mesh
+    cannot split evenly."""
+    import jax
+    from vlsa_tpu.data.extract import FeatureExtractor
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+    kw = dict(model_name="conch", image_size=32, batch_size=4,
+              compute_dtype="float32", model_overrides=dict(SMALL_CONCH))
+    tiles = RNG.integers(0, 255, (10, 32, 32, 3), dtype=np.uint8)
+    a = FeatureExtractor(**kw).extract(tiles)
+    b = FeatureExtractor(num_devices=4, **kw).extract(tiles)
+    assert a.shape == b.shape == (10, SMALL_CONCH["embed_dim_contrast"])
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        FeatureExtractor(num_devices=3, **kw)

@@ -136,6 +136,7 @@ class FeatureExtractor:
                  batch_size: int = 64,
                  compute_dtype: str = "bfloat16",
                  residual_dtype: Optional[str] = None,
+                 num_devices: Optional[int] = None,
                  seed: int = 0,
                  model_overrides: Optional[dict] = None):
         import jax
@@ -191,7 +192,27 @@ class FeatureExtractor:
             return model.apply({"params": p}, x, **apply_kwargs)
 
         self._params = params
-        self._fwd = jax.jit(fwd)
+        if num_devices and num_devices > 1:
+            # Multi-chip extraction: slides are embarrassingly parallel, so
+            # the batch axis shards over a 1-D data mesh (params replicated)
+            # and each chip encodes batch/num_devices tiles — linear scaling
+            # with zero inter-chip collectives in the forward.
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            devs = jax.devices()[:num_devices]
+            if len(devs) < num_devices:
+                raise ValueError(f"requested {num_devices} devices, "
+                                 f"have {len(devs)}")
+            if self.batch_size % num_devices:
+                raise ValueError(f"batch_size {self.batch_size} not divisible"
+                                 f" by num_devices {num_devices}")
+            mesh = Mesh(np.array(devs), ("data",))
+            rep = NamedSharding(mesh, PartitionSpec())
+            shard = NamedSharding(mesh, PartitionSpec("data"))
+            self._params = jax.device_put(params, rep)
+            self._fwd = jax.jit(fwd, in_shardings=(rep, shard),
+                                out_shardings=shard)
+        else:
+            self._fwd = jax.jit(fwd)
         self._jnp = jnp
         self.feat_dim = int(self._fwd(params, dummy if self.batch_size == 1
                                       else jnp.zeros(
