@@ -343,15 +343,46 @@ def main():
                 t0 = time.perf_counter()
                 _ = float(extract_jit(vparams, imgs0).sum())
                 t_ex = min(t_ex, (time.perf_counter() - t0) / EN)
+
+            # the production lane: raw 512x512 u8 tiles -> on-device
+            # preprocessing (PIL-exact tap resize) fused with the tower
+            # forward in one program (device_preprocess, the extractor
+            # default on TPU — host preprocessing runs ~0.7 tiles/s on a
+            # weak host, EXTRACT_CHIP.json)
+            from vlsa_tpu.data.transforms_device import build_device_preprocess
+            pre_dev = build_device_preprocess((512, 512), 448)
+            tiles_u8 = jnp.asarray(np.random.default_rng(1).integers(
+                0, 256, (EB, 512, 512, 3), dtype=np.uint8))
+
+            def extract_u8_scan(p, xs):
+                def body(chain, _):
+                    out = vit.apply({"params": p},
+                                    pre_dev(jnp.bitwise_xor(xs, chain)),
+                                    method=ConchVisualModel.forward_no_head)
+                    return out[0, 0].astype(jnp.uint8), out
+                _, outs = jax.lax.scan(body, jnp.uint8(0), jnp.arange(EN))
+                return outs[-1]
+
+            extract_u8_jit = jax.jit(extract_u8_scan)
+            _ = float(extract_u8_jit(vparams, tiles_u8).sum())   # warm
+            t_u8 = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                _ = float(extract_u8_jit(vparams, tiles_u8).sum())
+                t_u8 = min(t_u8, (time.perf_counter() - t0) / EN)
+
             extract_detail = {
-                "tiles_per_sec": round(EB / t_ex, 1),
+                "tiles_per_sec": round(EB / t_u8, 1),
                 "batch_tiles": EB,
-                "step_ms": round(t_ex * 1e3, 2),
-                "note": "CONCH ViT-B/16 448x448 forward_no_head, bf16 "
-                        "compute (device compute only; host preprocessing "
-                        "overlaps via async dispatch in the extractor)",
+                "step_ms": round(t_u8 * 1e3, 2),
+                "tower_only_tiles_per_sec": round(EB / t_ex, 1),
+                "note": "raw 512x512 u8 tiles -> on-device PIL-exact "
+                        "preprocessing fused with the CONCH ViT-B/16 "
+                        "448x448 forward_no_head, bf16 compute (the "
+                        "extractor's TPU default); tower_only excludes "
+                        "preprocessing",
             }
-            del vparams, imgs0
+            del vparams, imgs0, tiles_u8
         except Exception as exc:
             extract_detail = {"error": f"{type(exc).__name__}: {exc}"}
 

@@ -49,6 +49,16 @@ def get_args():
                    help="shard each tile batch over this many chips "
                         "(params replicated, batch split — linear scaling); "
                         "default: single device")
+    p.add_argument("--device_preprocess", type=str, default="auto",
+                   choices=["auto", "0", "1"],
+                   help="run the transform stack on device (byte-exact "
+                        "int32 fixed-point resize fused with the tower); "
+                        "auto = on for TPU backends")
+    p.add_argument("--platform", type=str,
+                   default=os.environ.get("JAX_PLATFORMS") or None,
+                   help="force the jax platform (e.g. cpu, tpu); defaults "
+                        "to $JAX_PLATFORMS, applied via jax.config so it "
+                        "wins over a sitecustomize pin")
     p.add_argument("--coord_dir", type=str, default=None,
                    help="where to write coords .h5 (default: --out)")
     p.add_argument("--synthetic", type=int, default=0,
@@ -68,8 +78,35 @@ def make_synthetic_slides(root: str, n_slides: int, n_tiles: int,
         np.save(osp.join(root, f"synthetic_{i}.npy"), tiles)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: extraction runs are one-shot CLI
+    invocations, so without this every run pays the full tower compile
+    (minutes on TPU, ~8 min for the unrolled trunk on a weak CPU host)."""
+    import jax
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("VLSA_TPU_COMPILE_CACHE",
+                           osp.expanduser("~/.cache/jax_comp_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def _apply_platform(platform):
+    """Honor an explicit platform before any device is touched.  Some
+    environments pin the platform in sitecustomize, so the JAX_PLATFORMS
+    env var alone is not enough (same rationale as main.py's
+    apply_platform_config)."""
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", str(platform))
+
+
 def main():
     args = get_args()
+    _apply_platform(args.platform)
+    _enable_compile_cache()
     from vlsa_tpu.data.extract import FeatureExtractor, extract_to_store
 
     source = args.source
@@ -82,11 +119,13 @@ def main():
     if source is None:
         raise SystemExit("either --source or --synthetic is required")
 
+    dev_pre = (args.device_preprocess if args.device_preprocess == "auto"
+               else args.device_preprocess == "1")
     extractor = FeatureExtractor(
         model_name=args.model, checkpoint=args.ckpt,
         image_size=args.image_size, batch_size=args.batch,
         compute_dtype=args.dtype, num_devices=args.num_devices,
-        seed=args.seed)
+        device_preprocess=dev_pre, seed=args.seed)
     stats = extract_to_store(source, args.out, extractor, fmt=args.format,
                              coord_dir=args.coord_dir)
     stats.update(model=args.model, format=args.format,

@@ -131,6 +131,64 @@ def main():
     t_r16 = timed_fwd(fwd_r16)
     r16_perf_ok = t_r16 <= t_flash * 1.02  # must not lose to f32 residual
 
+    # --- device-side preprocessing: the exactness contract on the REAL
+    # chip (the CPU suite proves CPU-XLA only; TPU lowers integer dots
+    # through float passes, which broke the original einsum form).  The
+    # integer pipeline (tap-form fixed-point resize + crop) must be
+    # BYTE-exact; the f32 normalize must match numpy to <= 1 ulp (~5e-7:
+    # TPU rounds f32 division differently).  Plus an end-to-end A/B from
+    # 512x512 u8 tiles vs the host-preprocess pipeline ---
+    from vlsa_tpu.data.transforms import (center_crop, preprocess_batch,
+                                          resize_shortest_edge)
+    from vlsa_tpu.data.transforms_device import build_device_preprocess
+    tiles = rng.integers(0, 256, (args.batch, 512, 512, 3), dtype=np.uint8)
+    pre_dev_u8 = build_device_preprocess((512, 512), 448, normalize=False)
+    got_u8 = np.asarray(jax.jit(pre_dev_u8)(jnp.asarray(tiles[:4])))
+    want_u8 = np.stack(
+        [center_crop(resize_shortest_edge(t, 448), 448) for t in tiles[:4]])
+    pp_exact = bool(np.array_equal(got_u8, want_u8))
+    pre_dev = build_device_preprocess((512, 512), 448)
+    got = np.asarray(jax.jit(pre_dev)(jnp.asarray(tiles[:4])))
+    want = preprocess_batch(list(tiles[:4]), 448)
+    norm_ulp_dev = float(np.abs(got - want).max())
+    norm_ok = norm_ulp_dev <= 5e-7
+
+    # host preprocess throughput (the 448-target resize of a 512 tile)
+    _ = preprocess_batch(list(tiles[:8]), 448)  # warm numpy paths
+    t0 = time.perf_counter()
+    _ = preprocess_batch(list(tiles), 448)
+    t_host_pre = (time.perf_counter() - t0)
+
+    # fused u8->features program (preprocess + tower in ONE jit)
+    def fused(p, x):
+        return vit.apply({"params": p}, pre_dev(x),
+                         method=ConchVisualModel.forward_no_head)
+
+    def timed_u8(fn) -> float:
+        xs = jnp.asarray(tiles)
+
+        def scan_fwd(p, x):
+            def body(chain, _):
+                out = fn(p, jnp.bitwise_xor(x, chain))
+                return out[0, 0].astype(jnp.uint8), out
+            _, outs = jax.lax.scan(body, jnp.uint8(0),
+                                   jnp.arange(args.scan))
+            return outs[-1]
+        jfn = jax.jit(scan_fwd)
+        _ = float(jfn(params, xs).sum())
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(jfn(params, xs).sum())
+            best = min(best, (time.perf_counter() - t0) / args.scan)
+        return best
+
+    t_fused = timed_u8(fused)
+    # the production host path overlaps host preprocess with device compute
+    # (async dispatch), so its steady-state bound is max(host_pre, forward)
+    t_host_path = max(t_host_pre, t_flash)
+    dp_ok = pp_exact and norm_ok and t_fused <= t_host_path * 1.05
+
     result = {
         "numerics": {"max_abs_dev": max_dev, "out_scale": scale,
                      "rel_dev": max_dev / scale, "ok": numerics_ok},
@@ -143,8 +201,18 @@ def main():
             "tiles_per_sec": round(args.batch / t_r16, 1),
             "speedup_vs_f32_residual": round(t_flash / t_r16, 3),
             "ok": r16_numerics_ok and r16_perf_ok},
+        "device_preprocess": {
+            "u8_pipeline_byte_exact_on_chip": pp_exact,
+            "normalize_max_abs_dev": norm_ulp_dev,
+            "host_preprocess_tiles_per_sec": round(args.batch / t_host_pre, 1),
+            "fused_u8_tiles_per_sec": round(args.batch / t_fused, 1),
+            "host_path_tiles_per_sec_overlap_bound":
+                round(args.batch / t_host_path, 1),
+            "e2e_speedup_vs_host_path": round(t_host_path / t_fused, 3),
+            "ok": dp_ok},
         "batch": args.batch,
-        "ok": numerics_ok and perf_ok and r16_numerics_ok and r16_perf_ok,
+        "ok": (numerics_ok and perf_ok and r16_numerics_ok and r16_perf_ok
+               and dp_ok),
     }
     out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                    "EXTRACT_CHIP.json")

@@ -339,7 +339,9 @@ def test_extract_cli_synthetic(tmp_path):
     a small image size) and reports tiles/sec."""
     import json
     out = tmp_path / "feats"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               VLSA_TPU_COMPILE_CACHE=os.environ.get(
+                   "VLSA_TPU_TEST_CACHE", "/root/.cache/jax_test_comp_cache"))
     r = subprocess.run(
         [sys.executable, "scripts/extract_features.py", "--synthetic", "1",
          "--synthetic_tiles", "6", "--image_size", "64", "--batch", "4",
@@ -417,3 +419,55 @@ def test_extractor_multi_device_matches_single():
 
     with pytest.raises(ValueError, match="not divisible"):
         FeatureExtractor(num_devices=3, **kw)
+
+
+@pytest.mark.parametrize("in_hw", [(448, 448), (512, 512), (600, 512),
+                                   (300, 500), (97, 61)])
+def test_device_preprocess_byte_exact_vs_host(in_hw):
+    """The on-device transform stack's exactness contract vs the host
+    numpy path: the integer pipeline (tap-form PIL fixed-point resize +
+    static crop) is BYTE-exact on every backend (elementwise int32 ops —
+    a dense int32 matmul is NOT exact on TPU), and the final f32 normalize
+    matches to <= 1 ulp.  scripts/validate_extraction_chip.py asserts the
+    same contract on the real chip."""
+    import jax.numpy as jnp
+    from vlsa_tpu.data.transforms import center_crop, resize_shortest_edge
+    from vlsa_tpu.data.transforms_device import build_device_preprocess
+
+    S = 96
+    tiles = RNG.integers(0, 256, size=(3,) + in_hw + (3,), dtype=np.uint8)
+    fn_u8 = build_device_preprocess(in_hw, S, normalize=False)
+    got_u8 = np.asarray(fn_u8(jnp.asarray(tiles)))
+    want_u8 = np.stack(
+        [center_crop(resize_shortest_edge(t, S), S) for t in tiles])
+    assert got_u8.shape == want_u8.shape == (3, S, S, 3)
+    np.testing.assert_array_equal(got_u8, want_u8)
+
+    fn = build_device_preprocess(in_hw, S)
+    got = np.asarray(fn(jnp.asarray(tiles)))
+    want = np.stack([preprocess_tile(t, S) for t in tiles])
+    assert got.shape == want.shape == (3, 3, S, S)
+    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+
+
+def test_extractor_device_preprocess_matches_host():
+    """FeatureExtractor(device_preprocess=True) must reproduce the host-
+    preprocessed features (f32 tower; integer preprocessing byte-exact,
+    normalize within 1 ulp) including the zero-padded ragged tail, and
+    'auto' must resolve to the host path on the CPU backend."""
+    from vlsa_tpu.data.extract import FeatureExtractor
+
+    kw = dict(model_name="conch", image_size=32, batch_size=4,
+              compute_dtype="float32", model_overrides=dict(SMALL_CONCH))
+    tiles = RNG.integers(0, 255, (6, 48, 40, 3), dtype=np.uint8)  # resized
+    host_ex = FeatureExtractor(device_preprocess=False, **kw)
+    dev_ex = FeatureExtractor(device_preprocess=True, **kw)
+    a = host_ex.extract(tiles)
+    b = dev_ex.extract(tiles)
+    assert a.shape == b.shape == (6, SMALL_CONCH["embed_dim_contrast"])
+    # preprocessing is byte-exact; the residual 1e-6-scale deviation is
+    # f32 fusion-order noise between the two compiled programs
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    auto_ex = FeatureExtractor(device_preprocess="auto", **kw)
+    assert auto_ex._device_preprocess is False  # CPU backend -> host path

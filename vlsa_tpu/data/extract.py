@@ -128,6 +128,14 @@ class FeatureExtractor:
       * 'conch'    — ConchVisualModel.forward_no_head, 512-d (the reference's
                      feature convention)
       * 'clip_vit' — OpenAI CLIP ViT-B/16 image embedding, 512-d
+
+    `device_preprocess`: 'auto' (default) runs the full transform stack
+    ON DEVICE when the backend is TPU — the PIL fixed-point resize as
+    per-tap int32 multiply-adds fused into the tower's jitted program
+    (`transforms_device.py`: integer pipeline byte-exact vs the host
+    path, normalize within 1 ulp), 4x less host->device traffic — and on
+    the host otherwise.  True/False force either path.  Tiles of mixed
+    shapes fall back to host preprocessing.
     """
 
     def __init__(self, model_name: str = "conch",
@@ -137,6 +145,7 @@ class FeatureExtractor:
                  compute_dtype: str = "bfloat16",
                  residual_dtype: Optional[str] = None,
                  num_devices: Optional[int] = None,
+                 device_preprocess: "bool | str" = "auto",
                  seed: int = 0,
                  model_overrides: Optional[dict] = None):
         import jax
@@ -192,6 +201,12 @@ class FeatureExtractor:
             return model.apply({"params": p}, x, **apply_kwargs)
 
         self._params = params
+        if device_preprocess == "auto":
+            device_preprocess = jax.default_backend() == "tpu"
+        self._device_preprocess = bool(device_preprocess)
+        self._fwd_raw = fwd
+        self._u8_pipelines = {}  # (H, W) -> jitted u8 batch -> features
+        self._in_shardings = None
         if num_devices and num_devices > 1:
             # Multi-chip extraction: slides are embarrassingly parallel, so
             # the batch axis shards over a 1-D data mesh (params replicated)
@@ -209,10 +224,12 @@ class FeatureExtractor:
             rep = NamedSharding(mesh, PartitionSpec())
             shard = NamedSharding(mesh, PartitionSpec("data"))
             self._params = jax.device_put(params, rep)
+            self._in_shardings = (rep, shard)
             self._fwd = jax.jit(fwd, in_shardings=(rep, shard),
                                 out_shardings=shard)
         else:
             self._fwd = jax.jit(fwd)
+        self._jax = jax
         self._jnp = jnp
         self.feat_dim = int(self._fwd(params, dummy if self.batch_size == 1
                                       else jnp.zeros(
@@ -242,8 +259,48 @@ class FeatureExtractor:
             outs.append(self._fwd(self._params, jnp.asarray(chunk)))
         return np.concatenate([np.asarray(o) for o in outs], axis=0)[:N]
 
+    def _u8_pipeline(self, in_hw):
+        """Jitted u8-batch -> features program (device preprocessing fused
+        with the tower forward), cached per input tile shape."""
+        if in_hw not in self._u8_pipelines:
+            from .transforms_device import build_device_preprocess
+            pre = build_device_preprocess(tuple(in_hw), self.image_size)
+            fwd = self._fwd_raw
+
+            def fwd_u8(p, x):
+                return fwd(p, pre(x))
+
+            kw = {}
+            if self._in_shardings is not None:
+                kw = dict(in_shardings=self._in_shardings,
+                          out_shardings=self._in_shardings[1])
+            self._u8_pipelines[in_hw] = self._jax.jit(fwd_u8, **kw)
+        return self._u8_pipelines[in_hw]
+
+    def _extract_u8_on_device(self, arr: np.ndarray) -> np.ndarray:
+        """u8 [N, H, W, 3] -> f32 [N, feat_dim], preprocessing on device."""
+        jnp = self._jnp
+        N, B = arr.shape[0], self.batch_size
+        fn = self._u8_pipeline(arr.shape[1:3])
+        outs = []
+        for i in range(0, N, B):
+            chunk = arr[i:i + B]
+            if chunk.shape[0] < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - chunk.shape[0],) + chunk.shape[1:],
+                                     chunk.dtype)], axis=0)
+            outs.append(fn(self._params, jnp.asarray(chunk)))
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:N]
+
     def extract(self, tiles) -> np.ndarray:
         """uint8 tiles -> f32 [N, feat_dim] features."""
+        if self._device_preprocess:
+            arr = np.asarray(tiles) if not isinstance(tiles, list) else None
+            if arr is None and tiles and len({t.shape for t in tiles}) == 1:
+                arr = np.stack(tiles)
+            if (arr is not None and arr.ndim == 4 and arr.shape[-1] == 3
+                    and arr.dtype == np.uint8):
+                return self._extract_u8_on_device(arr)
         return self.extract_preprocessed(self.preprocess(tiles))
 
 

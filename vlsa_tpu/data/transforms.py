@@ -71,6 +71,31 @@ def _resample_matrix_u8(in_size: int, out_size: int) -> np.ndarray:
     return np.trunc(k + np.sign(k) * 0.5).astype(np.int64)
 
 
+def _resample_taps_u8(in_size: int, out_size: int):
+    """Per-output-pixel tap form of `_resample_matrix_u8`:
+    `(xmin int64 [out], coeffs int64 [out, ksize])` with zero-padded rows,
+    so `M[o, xmin[o] + k] == coeffs[o, k]` for every in-range tap.
+
+    The device preprocessing path (`transforms_device.py`) needs this form:
+    TPU lowers int32 dot-products through float passes that are NOT exact
+    at PIL's 2^30 accumulator range, while elementwise int32 multiply-adds
+    over the <= ksize taps are exact on every backend."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = _BICUBIC_SUPPORT * filterscale
+    centers = (np.arange(out_size) + 0.5) * scale
+    xmin = np.maximum(np.trunc(centers - support + 0.5).astype(np.int64), 0)
+    xmax = np.minimum(np.trunc(centers + support + 0.5).astype(np.int64),
+                      in_size)
+    M = _resample_matrix_u8(in_size, out_size)
+    ksize = int(np.max(xmax - xmin))
+    coeffs = np.zeros((out_size, ksize), np.int64)
+    for xx in range(out_size):
+        n = int(xmax[xx] - xmin[xx])
+        coeffs[xx, :n] = M[xx, xmin[xx]:xmax[xx]]
+    return xmin, coeffs
+
+
 def _clip8(acc: np.ndarray) -> np.ndarray:
     """PIL clip8: (acc >> PRECISION_BITS) clamped to [0, 255]."""
     return np.clip(acc >> _PRECISION_BITS, 0, 255).astype(np.uint8)
