@@ -59,6 +59,12 @@ def get_args():
                    help="force the jax platform (e.g. cpu, tpu); defaults "
                         "to $JAX_PLATFORMS, applied via jax.config so it "
                         "wins over a sitecustomize pin")
+    p.add_argument("--resume", action="store_true",
+                   help="skip slides whose feature store already exists "
+                        "(restart an interrupted cohort job)")
+    p.add_argument("--no_prefetch", action="store_true",
+                   help="disable the background-thread tile read-ahead "
+                        "that overlaps host IO with device compute")
     p.add_argument("--coord_dir", type=str, default=None,
                    help="where to write coords .h5 (default: --out)")
     p.add_argument("--synthetic", type=int, default=0,
@@ -127,7 +133,8 @@ def main():
         compute_dtype=args.dtype, num_devices=args.num_devices,
         device_preprocess=dev_pre, seed=args.seed)
     stats = extract_to_store(source, args.out, extractor, fmt=args.format,
-                             coord_dir=args.coord_dir)
+                             coord_dir=args.coord_dir, resume=args.resume,
+                             prefetch=not args.no_prefetch)
     stats.update(model=args.model, format=args.format,
                  image_size=args.image_size, feat_dim=extractor.feat_dim,
                  weights="imported" if args.ckpt else "random-init")

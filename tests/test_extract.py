@@ -471,3 +471,39 @@ def test_extractor_device_preprocess_matches_host():
 
     auto_ex = FeatureExtractor(device_preprocess="auto", **kw)
     assert auto_ex._device_preprocess is False  # CPU backend -> host path
+
+
+def test_extract_resume_and_prefetch(tmp_path):
+    """`resume=True` skips slides whose store exists; the prefetch
+    (read-ahead thread) path produces identical stores to the serial
+    path."""
+    from vlsa_tpu.data.extract import FeatureExtractor, extract_to_store
+
+    src = tmp_path / "tiles"
+    src.mkdir()
+    for i in range(3):
+        np.save(src / f"slide_{i}.npy",
+                RNG.integers(0, 255, (5, 32, 32, 3), dtype=np.uint8))
+    ex = FeatureExtractor(model_name="conch", image_size=32, batch_size=4,
+                          compute_dtype="float32",
+                          model_overrides=dict(SMALL_CONCH))
+
+    out_a = tmp_path / "feats_a"
+    stats = extract_to_store(str(src), str(out_a), ex, verbose=False)
+    assert stats["slides"] == 3 and stats["skipped"] == 0
+
+    out_b = tmp_path / "feats_b"
+    stats_b = extract_to_store(str(src), str(out_b), ex, verbose=False,
+                               prefetch=False)
+    assert stats_b["slides"] == 3
+    for i in range(3):
+        np.testing.assert_array_equal(np.load(out_a / f"slide_{i}.npy"),
+                                      np.load(out_b / f"slide_{i}.npy"))
+
+    # resume: drop one store, rerun — only the missing slide re-extracts
+    (out_a / "slide_1.npy").unlink()
+    stats_r = extract_to_store(str(src), str(out_a), ex, verbose=False,
+                               resume=True)
+    assert stats_r["skipped"] == 2 and stats_r["slides"] == 1
+    np.testing.assert_array_equal(np.load(out_a / "slide_1.npy"),
+                                  np.load(out_b / "slide_1.npy"))

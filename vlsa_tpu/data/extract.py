@@ -339,24 +339,65 @@ def extract_to_store(source_path: str, out_dir: str,
                      extractor: FeatureExtractor,
                      fmt: str = "npy",
                      coord_dir: Optional[str] = None,
-                     verbose: bool = True) -> dict:
+                     verbose: bool = True,
+                     resume: bool = False,
+                     prefetch: bool = True) -> dict:
     """Run extraction over every slide under `source_path`.
 
-    Returns {'slides': n, 'tiles': n, 'tiles_per_sec': float}."""
+    `resume=True` skips slides whose feature store already exists, so an
+    interrupted cohort-scale job restarts where it stopped (the per-slide
+    store write is atomic enough: a file only exists once fully written).
+    `prefetch=True` reads the next slide's tiles on a background thread
+    while the device encodes the current one, overlapping host IO/decode
+    with chip compute (one slide of read-ahead; real WSI cohorts stream
+    TBs through this loop).
+
+    Returns {'slides': n, 'tiles': n, 'tiles_per_sec': float,
+             'skipped': n_skipped}."""
     sources = list_tile_sources(source_path)
     if not sources:
         raise FileNotFoundError(f"no tile sources under {source_path}")
+    n_skipped = 0
+    if resume:
+        remaining = []
+        for sid, src in sources:
+            if osp.exists(osp.join(out_dir, f"{sid}.{fmt}")):
+                n_skipped += 1
+                if verbose:
+                    print(f"[extract] {sid}: store exists, skipped (resume)")
+            else:
+                remaining.append((sid, src))
+        sources = remaining
+
     n_tiles = 0
     t0 = time.perf_counter()
-    for sid, src in sources:
-        tiles, coords = read_tiles(src)
-        feats = extractor.extract(tiles)
-        write_feature_store(out_dir, sid, feats, fmt, coords, coord_dir)
-        n = len(tiles)
-        n_tiles += n
-        if verbose:
-            print(f"[extract] {sid}: {n} tiles -> "
-                  f"{osp.join(out_dir, sid)}.{fmt}")
+    if prefetch and len(sources) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(read_tiles, sources[0][1]) if sources else None
+        try:
+            for i, (sid, _src) in enumerate(sources):
+                tiles, coords = pending.result()
+                pending = (pool.submit(read_tiles, sources[i + 1][1])
+                           if i + 1 < len(sources) else None)
+                feats = extractor.extract(tiles)
+                write_feature_store(out_dir, sid, feats, fmt, coords,
+                                    coord_dir)
+                n_tiles += len(tiles)
+                if verbose:
+                    print(f"[extract] {sid}: {len(tiles)} tiles -> "
+                          f"{osp.join(out_dir, sid)}.{fmt}")
+        finally:
+            pool.shutdown(wait=False)
+    else:
+        for sid, src in sources:
+            tiles, coords = read_tiles(src)
+            feats = extractor.extract(tiles)
+            write_feature_store(out_dir, sid, feats, fmt, coords, coord_dir)
+            n_tiles += len(tiles)
+            if verbose:
+                print(f"[extract] {sid}: {len(tiles)} tiles -> "
+                      f"{osp.join(out_dir, sid)}.{fmt}")
     dt = time.perf_counter() - t0
-    return {"slides": len(sources), "tiles": n_tiles,
+    return {"slides": len(sources), "tiles": n_tiles, "skipped": n_skipped,
             "tiles_per_sec": n_tiles / dt if dt > 0 else float("inf")}
