@@ -3,7 +3,8 @@
 through it, plot the incidence/survival functions, the decoupled text-image
 similarities, and the exact-Shapley attribution of the prognostic priors.
 
-Run:  python examples/walkthrough.py [--ckpt <train_model-last.pth>] [--bag <feats.pt|.npy>]
+Run:  python examples/walkthrough.py [--ckpt <train_model-last.pth>]
+          [--bag <feats.pt|.npy> | --tiles <dir|.h5|.npy> [--conch_ckpt <bin>]]
 
 Without arguments it builds the BLCA-configured model, imports the bundled
 reference checkpoint if mounted, and uses a synthetic bag (the reference's
@@ -24,10 +25,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="/root/reference/assert/blca-train-VLSA/train_model-last.pth")
     ap.add_argument("--bag", default=None, help=".pt/.npy patch-feature bag")
+    ap.add_argument("--tiles", default=None,
+                    help="raw tile source (.h5/.npy stack/dir of images): "
+                         "runs the CONCH vision tower to build the bag "
+                         "(the full pixels->prognosis path)")
+    ap.add_argument("--conch_ckpt", default=None,
+                    help="pytorch_model.bin with real CONCH vision weights "
+                         "for --tiles (random init otherwise)")
+    ap.add_argument("--tile_image_size", type=int, default=448)
+    ap.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS") or None,
+                    help="force the jax platform (e.g. cpu); applied via "
+                         "jax.config so it wins over a sitecustomize pin")
     ap.add_argument("--out", default="walkthrough_out")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", str(args.platform))
     from vlsa_tpu.models.vlsa_build import build_vlsa
     from vlsa_tpu.interpret import calc_text_img_similarity
     from vlsa_tpu.interpret.visualization import (
@@ -74,7 +88,21 @@ def main():
         print("[walkthrough] no checkpoint found; using random init "
               "(the frozen CONCH weights are not distributable either way)")
 
-    if args.bag:
+    if args.tiles:
+        # raw pixels -> CONCH ViT-B features (ref README.md:88-94 preprocessing:
+        # 448x448 tiles through the CONCH vision tower, 512-d VL-projected)
+        from vlsa_tpu.data.extract import FeatureExtractor, read_tiles
+        tiles, _coords = read_tiles(args.tiles)
+        ex = FeatureExtractor(
+            model_name="conch", checkpoint=args.conch_ckpt,
+            image_size=args.tile_image_size, batch_size=16,
+            compute_dtype="bfloat16" if jax.default_backend() == "tpu"
+            else "float32")
+        X = ex.extract(tiles)
+        print(f"[walkthrough] extracted {X.shape[0]} tiles -> "
+              f"{X.shape[1]}-d CONCH features"
+              + ("" if args.conch_ckpt else " (random tower init)"))
+    elif args.bag:
         X = read_patch_data(args.bag).astype(np.float32)
     else:
         X = np.random.default_rng(0).normal(size=(4096, 512)).astype(np.float32)

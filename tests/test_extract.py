@@ -420,6 +420,16 @@ def test_extractor_multi_device_matches_single():
     with pytest.raises(ValueError, match="not divisible"):
         FeatureExtractor(num_devices=3, **kw)
 
+    # the fused u8 pipeline (device preprocessing) must shard identically:
+    # raw 48x40 tiles, batch axis over the mesh, same features as the
+    # single-device host-preprocess path
+    tiles_raw = RNG.integers(0, 255, (10, 48, 40, 3), dtype=np.uint8)
+    c = FeatureExtractor(**kw).extract(tiles_raw)
+    d = FeatureExtractor(num_devices=4, device_preprocess=True,
+                         **kw).extract(tiles_raw)
+    assert c.shape == d.shape == (10, SMALL_CONCH["embed_dim_contrast"])
+    np.testing.assert_allclose(c, d, atol=1e-5, rtol=1e-5)
+
 
 @pytest.mark.parametrize("in_hw", [(448, 448), (512, 512), (600, 512),
                                    (300, 500), (97, 61)])
