@@ -517,3 +517,38 @@ def test_extract_resume_and_prefetch(tmp_path):
     assert stats_r["skipped"] == 2 and stats_r["slides"] == 1
     np.testing.assert_array_equal(np.load(out_a / "slide_1.npy"),
                                   np.load(out_b / "slide_1.npy"))
+
+
+@pytest.mark.slow
+def test_extract_cli_multi_device(tmp_path):
+    """--num_devices through the CLI on a virtual 4-device CPU mesh must
+    reproduce the single-device extraction bit-for-bit (f32 tower,
+    device_preprocess forced so the fused u8 pipeline shards too)."""
+    import json
+    tiles = RNG.integers(0, 255, (2, 10, 48, 40, 3), dtype=np.uint8)
+    src = tmp_path / "tiles"
+    src.mkdir()
+    for i in range(2):
+        np.save(src / f"s{i}.npy", tiles[i])
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               VLSA_TPU_COMPILE_CACHE=os.environ.get(
+                   "VLSA_TPU_TEST_CACHE", "/root/.cache/jax_test_comp_cache"))
+    outs = {}
+    for tag, extra in (("one", []), ("four", ["--num_devices", "4"])):
+        out = tmp_path / f"feats_{tag}"
+        r = subprocess.run(
+            [sys.executable, "scripts/extract_features.py",
+             "--source", str(src), "--out", str(out),
+             "--image_size", "64", "--batch", "4", "--dtype", "float32",
+             "--device_preprocess", "1"] + extra,
+            capture_output=True, text=True, env=env,
+            cwd=osp.dirname(osp.dirname(osp.abspath(__file__))), timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["slides"] == 2 and stats["tiles"] == 20
+        outs[tag] = out
+    for i in range(2):
+        a = np.load(outs["one"] / f"s{i}.npy")
+        b = np.load(outs["four"] / f"s{i}.npy")
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
