@@ -150,8 +150,10 @@ def main():
     pre_dev = build_device_preprocess((512, 512), 448)
     got = np.asarray(jax.jit(pre_dev)(jnp.asarray(tiles[:4])))
     want = preprocess_batch(list(tiles[:4]), 448)
+    # two chained f32 roundings (x/255, then /std) can each differ by 1 ulp
+    # (~2.4e-7 at the output scale); measured 4.8e-7 on chip
     norm_ulp_dev = float(np.abs(got - want).max())
-    norm_ok = norm_ulp_dev <= 5e-7
+    norm_ok = norm_ulp_dev <= 1e-6
 
     # host preprocess throughput (the 448-target resize of a 512 tile)
     _ = preprocess_batch(list(tiles[:8]), 448)  # warm numpy paths

@@ -457,7 +457,7 @@ def test_device_preprocess_byte_exact_vs_host(in_hw):
     got = np.asarray(fn(jnp.asarray(tiles)))
     want = np.stack([preprocess_tile(t, S) for t in tiles])
     assert got.shape == want.shape == (3, 3, S, S)
-    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
 
 
 def test_extractor_device_preprocess_matches_host():
