@@ -13,3 +13,11 @@ from .io import (  # noqa: F401
 )
 from .bags import SurvBagDataset, FewShotSurvBagDataset, prepare_surv_dataset  # noqa: F401
 from .pipeline import BagBatcher, pad_bag  # noqa: F401
+from .extract import (  # noqa: F401  (jax is imported lazily inside)
+    FeatureExtractor,
+    extract_to_store,
+    list_tile_sources,
+    read_tiles,
+    write_feature_store,
+)
+from .transforms import preprocess_batch, preprocess_tile  # noqa: F401
