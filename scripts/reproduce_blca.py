@@ -74,6 +74,45 @@ def step_parity(args):
     print("[2/4] parity gate passed (incidence deviation <= 1e-3)")
 
 
+def step_extract(args):
+    """Optional step 0: raw WSI tiles -> CONCH ViT-B/16 448 features, so
+    ARTIFACT 2 can be replaced by tile sources (one .h5/.npy/dir per
+    slide, named <pathology_id>). Resumable; reuses an existing store."""
+    if not args.tiles:
+        return
+    import jax
+    from vlsa_tpu.data.extract import FeatureExtractor, extract_to_store
+    dst = args.extracted_dir or (args.tiles.rstrip("/") + "-feats")
+    size = 64 if args.smoke else 448
+    overrides = None
+    if args.smoke and not args.conch_ckpt:
+        overrides = {"layers": 2, "width": 48, "heads": 4,
+                     "embed_dim_contrast": 512, "embed_dim_caption": 32,
+                     "attn_pooler_heads": 4, "n_queries_caption": 4}
+    ex = FeatureExtractor(
+        model_name="conch", checkpoint=args.conch_ckpt, image_size=size,
+        batch_size=16 if args.smoke else 64,
+        compute_dtype="bfloat16" if jax.default_backend() == "tpu"
+        else "float32", model_overrides=overrides)
+    stats = extract_to_store(args.tiles, dst, ex, fmt="npy", resume=True,
+                             verbose=not args.smoke)
+    print(f"[0/4] extracted {stats['tiles']} tiles over {stats['slides']} "
+          f"slides ({stats['skipped']} already present) -> {dst} "
+          f"[{stats['tiles_per_sec']:.1f} tiles/s]"
+          + ("" if args.conch_ckpt else " (random tower init)"))
+    args.features = dst
+    args.no_convert = True  # extraction writes native .npy stores
+    args.feat_format = "npy"
+
+
+def _detect_feat_format(feat_dir: str) -> str:
+    for f in sorted(os.listdir(feat_dir)):
+        ext = osp.splitext(f)[1].lstrip(".")
+        if ext in ("pt", "npy", "h5", "q8npz"):
+            return ext
+    raise SystemExit(f"no .pt/.npy/.h5/.q8npz feature files in {feat_dir}")
+
+
 def step_features(args):
     if not args.features:
         spec = "synthetic://N=1024,D=512,seed=7" if args.smoke \
@@ -85,7 +124,10 @@ def step_features(args):
                          "(expected one .pt/.h5/.npy per slide, named "
                          "<pathology_id>.<ext> — ref README.md:88-94)")
     if args.no_convert:
-        print(f"[3/4] using features at {args.features} directly")
+        args.feat_format = args.feat_format or _detect_feat_format(
+            args.features)
+        print(f"[3/4] using features at {args.features} directly "
+              f"(format: {args.feat_format})")
         return args.features
     from vlsa_tpu.data.convert import convert_dir
     dst = args.converted_dir or (args.features.rstrip("/") + "-npy")
@@ -94,6 +136,7 @@ def step_features(args):
     else:
         n = convert_dir(args.features, dst)
         print(f"[3/4] converted {n} slides -> {dst} (native-loader format)")
+    args.feat_format = "npy"
     return dst
 
 
@@ -115,6 +158,10 @@ def build_cfg(args, fold, path_patch):
         "epochs": args.epochs,
         "bag_overflow": "error",
     })
+    if getattr(args, "feat_format", None):
+        # the converted/extracted store's actual on-disk format (the
+        # exemplar config says `pt`, which only fits raw reference dumps)
+        cfg["feat_format"] = args.feat_format
     if args.smoke:
         cfg["_test_tower_overrides"] = {"width": 32, "heads": 4, "layers": 2,
                                         "output_dim": 512}
@@ -147,6 +194,16 @@ def main():
                     help="ARTIFACT 1: path to CONCH pytorch_model.bin")
     ap.add_argument("--features", default=None,
                     help="ARTIFACT 2: dir of per-slide .pt/.h5/.npy features")
+    ap.add_argument("--tiles", default=None,
+                    help="raw tile sources instead of ARTIFACT 2 (one "
+                         ".h5/.npy/image-dir per slide, named "
+                         "<pathology_id>): runs CONCH ViT-B/16 448 "
+                         "extraction first")
+    ap.add_argument("--extracted_dir", default=None,
+                    help="where --tiles extraction writes its .npy store")
+    ap.add_argument("--feat_format", default=None,
+                    choices=["pt", "npy", "h5", "q8npz"],
+                    help="on-disk format of --features (default: detected)")
     ap.add_argument("--converted_dir", default=None)
     ap.add_argument("--no_convert", action="store_true",
                     help="read --features directly (skip .npy conversion)")
@@ -173,6 +230,7 @@ def main():
 
     step_tower(args)
     step_parity(args)
+    step_extract(args)
     path_patch = step_features(args)
     rows = step_run(args, path_patch)
 
