@@ -26,6 +26,10 @@ Usage:
   python scripts/reproduce_blca.py \
       --conch_ckpt /mnt/conch/pytorch_model.bin \
       --features   /mnt/tcga_blca/feats-CONCH-vl-proj/pt_files
+  # or from raw tiles (ARTIFACT 2 not needed; extraction is resumable):
+  python scripts/reproduce_blca.py \
+      --conch_ckpt /mnt/conch/pytorch_model.bin \
+      --tiles      /mnt/tcga_blca/tiles-20x-s448
 """
 from __future__ import annotations
 
