@@ -353,3 +353,44 @@ def test_auto_resume_restart(tmp_path):
     from vlsa_tpu.runner.ckpt import load_checkpoint
     ck = load_checkpoint(os.path.join(cfg["save_path"], "train_model-last.ckpt"))
     assert ck["epoch"] == 3
+
+
+def test_sa_early_stop_lrs_best_ckpt(tmp_path):
+    """es + lrs + ckpt_for_eval=best through the production runner: training
+    stops before cfg['epochs'], the plateau scheduler reduces the LR, the
+    best checkpoint exists and eval-all reports bestckpt metrics
+    (ref runner/base_handler.py:188-201,418-427,641-667)."""
+    import os
+
+    table, split = make_cohort(tmp_path, n_patients=30)
+    # the monitor needs a REAL validation split (2-column train/val splits
+    # map val->test, leaving val_loader None — reference semantics, ref
+    # base_handler.py:275-276); rewrite as 3-column train/val/test
+    df = pd.read_csv(split)
+    pids = list(df["train"].dropna()) + list(df["val"].dropna())
+    n = len(pids)
+    pd.DataFrame({
+        "train": pd.Series(pids[:n - 12]),
+        "val": pd.Series(pids[n - 12:n - 6]),
+        "test": pd.Series(pids[n - 6:]),
+    }).to_csv(split, index=False)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg.update({
+        "epochs": 30,
+        "opt_lr": 0.5,            # diverges -> loss plateaus immediately
+        "es": True, "es_warmup": 0, "es_patience": 2, "es_start_epoch": 0,
+        "es_verbose": False, "monitor_metrics": "loss",
+        "lrs": True, "lrs_factor": 0.5, "lrs_patience": 1,
+        "ckpt_for_eval": "best",
+        "eval_training_loader_per_epoch": True,  # exercises the eval-train loader
+    })
+    handler = SAHandler(cfg)
+    metrics = handler.exec()
+    assert handler.es is not None and handler.es.early_stop
+    assert handler.steplr is not None and handler.steplr.lr < cfg["opt_lr"]
+    save = cfg["save_path"]
+    names = os.listdir(save)
+    assert any("model-best" in n for n in names), names
+    assert any("metrics-best" in n for n in names), names
+    vals = dict(metrics["test"])
+    assert np.isfinite(vals["pred_loss"])

@@ -298,6 +298,7 @@ class BaseHandler:
             val_loaders = {"validation": val_set, "test": test_set}
             if cfg.get("eval_training_loader_per_epoch"):
                 val_loaders["eval-train"] = train_set
+                self.uid["eval-train"] = train_set.uid
             self._run_training(cfg["epochs"], train_set, "train",
                                val_loaders=val_loaders, val_name="validation",
                                save_ckpt=True, early_stop=bool(cfg.get("es")),
@@ -330,6 +331,7 @@ class BaseHandler:
                            patience=cfg.get("es_patience", 20),
                            start_epoch=cfg.get("es_start_epoch", 0),
                            verbose=cfg.get("es_verbose", False)) if early_stop else None
+        self.es = es  # exposed for inspection/tests
         train_batcher = self._make_batcher(train_set, cfg, shuffle=True)
         step_fn = self.engine.train_step()
         last_epoch = -1
