@@ -394,3 +394,14 @@ def test_sa_early_stop_lrs_best_ckpt(tmp_path):
     assert any("metrics-best" in n for n in names), names
     vals = dict(metrics["test"])
     assert np.isfinite(vals["pred_loss"])
+
+
+def test_force_skip_training(tmp_path):
+    """force_to_skip_training evaluates the (untrained) model without a
+    checkpoint on disk (ref base_handler.py:270-273 skip branch)."""
+    table, split = make_cohort(tmp_path, n_patients=24)
+    cfg = base_cfg(tmp_path, table, split)
+    cfg["force_to_skip_training"] = True
+    metrics = SAHandler(cfg).exec()
+    vals = dict(metrics["test"])
+    assert np.isfinite(vals["pred_loss"])
