@@ -84,9 +84,18 @@ def read_tiles(source: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
                    if f.lower().endswith(_IMG_EXTS))
     if not files:
         raise FileNotFoundError(f"no tiles under {source}")
-    tiles, coords, have_coords = [], [], True
+    # decode in parallel: PIL releases the GIL during JPEG/PNG decode, so
+    # a thread pool scales with cores on a real extraction host
+    from concurrent.futures import ThreadPoolExecutor
+    workers = min(8, os.cpu_count() or 1)
+    if workers > 1 and len(files) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            tiles = list(pool.map(
+                lambda f: _read_image(osp.join(source, f)), files))
+    else:
+        tiles = [_read_image(osp.join(source, f)) for f in files]
+    coords, have_coords = [], True
     for f in files:
-        tiles.append(_read_image(osp.join(source, f)))
         m = _COORD_RE.search(osp.splitext(f)[0])
         if m:
             coords.append((int(m.group(1)), int(m.group(2))))
