@@ -43,6 +43,9 @@ def get_args():
     p.add_argument("--format", type=str, default="npy", choices=["npy", "q8npz"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--image_size", type=int, default=448)
+    p.add_argument("--trunk_quant", action="store_true",
+                   help="w8a8 int8 trunk linears (CONCH only): 2x MXU rate, "
+                        "opt-in semantics change — see docs/PERF.md")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", type=int, default=None,
@@ -131,7 +134,8 @@ def main():
         model_name=args.model, checkpoint=args.ckpt,
         image_size=args.image_size, batch_size=args.batch,
         compute_dtype=args.dtype, num_devices=args.num_devices,
-        device_preprocess=dev_pre, seed=args.seed)
+        device_preprocess=dev_pre, seed=args.seed,
+        trunk_quant=args.trunk_quant)
     stats = extract_to_store(source, args.out, extractor, fmt=args.format,
                              coord_dir=args.coord_dir, resume=args.resume,
                              prefetch=not args.no_prefetch)

@@ -191,6 +191,53 @@ def main():
     t_host_path = max(t_host_pre, t_flash)
     dp_ok = pp_exact and norm_ok and t_fused <= t_host_path * 1.05
 
+    # --- w8a8 int8 trunk (opt-in lane) ---
+    # exactness guard: the s8 x s8 -> s32 dot must accumulate exactly in
+    # int32 ON CHIP (the analogous int32 dot does NOT — float-pass
+    # lowering; same-sign operands push the accumulator past 2^24)
+    xi = rng.integers(64, 128, size=(64, 3072), dtype=np.int8)
+    wi = rng.integers(64, 128, size=(48, 3072), dtype=np.int8)
+    got_i = np.asarray(jax.jit(lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32))(jnp.asarray(xi), jnp.asarray(wi)))
+    want_i = xi.astype(np.int64) @ wi.astype(np.int64).T
+    s8_exact = bool(np.array_equal(got_i, want_i.astype(np.int32)))
+
+    from vlsa_tpu.models.precision import quantize_vision_tower_weights
+    qparams = quantize_vision_tower_weights(
+        jax.tree.map(lambda t: t.astype(jnp.float32)
+                     if t.dtype == jnp.bfloat16 else t, params))
+    qparams = cast_vision_tower_weights(qparams)
+    vit_q8 = ConchVisualModel(image_size=448, compute_dtype="bfloat16",
+                              trunk_quantized=True)
+    fwd_q8 = lambda p, x: vit_q8.apply(
+        {"params": p}, x, method=ConchVisualModel.forward_no_head)
+    q8_out = np.asarray(jax.jit(fwd_q8)(qparams, imgs))
+    # per-row cosine against the float tower (the CPU suite's bound)
+    cos_rows = (q8_out * flash_out).sum(-1) / (
+        np.linalg.norm(q8_out, axis=-1) * np.linalg.norm(flash_out, axis=-1))
+    q8_numerics_ok = bool(cos_rows.min() > 0.99)
+
+    def timed_q8() -> float:
+        def scan_fwd(p, x):
+            def body(chain, _):
+                out = fwd_q8(p, x + chain * 1e-30)
+                return out[0, 0], out
+            _, outs = jax.lax.scan(body, jnp.float32(0.0),
+                                   jnp.arange(args.scan))
+            return outs[-1]
+        jfn = jax.jit(scan_fwd)
+        _ = float(jfn(qparams, big).sum())
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(jfn(qparams, big).sum())
+            best = min(best, (time.perf_counter() - t0) / args.scan)
+        return best
+
+    t_q8 = timed_q8()
+    q8_ok = s8_exact and q8_numerics_ok
+
     result = {
         "numerics": {"max_abs_dev": max_dev, "out_scale": scale,
                      "rel_dev": max_dev / scale, "ok": numerics_ok},
@@ -203,6 +250,12 @@ def main():
             "tiles_per_sec": round(args.batch / t_r16, 1),
             "speedup_vs_f32_residual": round(t_flash / t_r16, 3),
             "ok": r16_numerics_ok and r16_perf_ok},
+        "int8_trunk": {
+            "s8_dot_exact_on_chip": s8_exact,
+            "min_cosine_vs_float_tower": float(cos_rows.min()),
+            "tiles_per_sec": round(args.batch / t_q8, 1),
+            "speedup_vs_bf16": round(t_flash / t_q8, 3),
+            "ok": q8_ok},
         "device_preprocess": {
             "u8_pipeline_byte_exact_on_chip": pp_exact,
             "normalize_max_abs_dev": norm_ulp_dev,
@@ -214,7 +267,7 @@ def main():
             "ok": dp_ok},
         "batch": args.batch,
         "ok": (numerics_ok and perf_ok and r16_numerics_ok and r16_perf_ok
-               and dp_ok),
+               and dp_ok and q8_ok),
     }
     out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                    "EXTRACT_CHIP.json")

@@ -156,6 +156,7 @@ class FeatureExtractor:
                  num_devices: Optional[int] = None,
                  device_preprocess: "bool | str" = "auto",
                  seed: int = 0,
+                 trunk_quant: bool = False,
                  model_overrides: Optional[dict] = None):
         import jax
         import jax.numpy as jnp
@@ -176,10 +177,20 @@ class FeatureExtractor:
             # numerics; `residual_dtype="bfloat16"` stays available.
             if residual_dtype is not None:
                 overrides.setdefault("trunk_residual_dtype", residual_dtype)
+            if trunk_quant:
+                # w8a8 trunk linears (opt-in): int8 weights quantized below,
+                # per-token dynamic activation scales in-graph.  2x MXU
+                # MACs/cycle on TPU; a semantics change vs the float tower —
+                # validated on random weights (tests/test_int8_trunk.py),
+                # real-weight validation pending artifacts.
+                overrides.setdefault("trunk_quantized", True)
             model = ConchVisualModel(image_size=self.image_size,
                                      compute_dtype=compute_dtype, **overrides)
             apply_kwargs = {"method": ConchVisualModel.forward_no_head}
         elif model_name == "clip_vit":
+            if trunk_quant:
+                raise ValueError("trunk_quant is only supported for the "
+                                 "CONCH trunk (model_name='conch')")
             model = CLIPViT(input_resolution=self.image_size,
                             compute_dtype=compute_dtype, **overrides)
             apply_kwargs = {}
@@ -196,8 +207,24 @@ class FeatureExtractor:
             else:
                 params = import_clip_vit_state(state, layers=model.layers)
             params = jax.tree.map(jnp.asarray, params)
+        elif trunk_quant:
+            # random-weight path: init the FLOAT tower (real random weights),
+            # then quantize — the quantized module's own init is all-zeros.
+            float_overrides = dict(overrides)
+            float_overrides.pop("trunk_quantized", None)
+            float_model = ConchVisualModel(image_size=self.image_size,
+                                           compute_dtype=compute_dtype,
+                                           **float_overrides)
+            params = float_model.init(jax.random.PRNGKey(seed),
+                                      dummy)["params"]
         else:
             params = model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+        if trunk_quant:
+            # Fit the int8 grid to the unrounded f32 weights (before the
+            # bf16 pre-cast of the remaining float leaves below).
+            from ..models.precision import quantize_vision_tower_weights
+            params = quantize_vision_tower_weights(params)
 
         if jnp.dtype(compute_dtype) == jnp.bfloat16:
             # The tower is frozen: pre-cast its matmul/conv weights once

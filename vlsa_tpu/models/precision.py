@@ -82,3 +82,51 @@ def cast_vision_tower_weights(params: Mapping, dtype=jnp.bfloat16) -> dict:
         if k.startswith("resblock_"):
             params[k] = cast_block(v)
     return params
+
+# ---------------------------------------------------------------------------
+# int8 weight quantization for the frozen extraction trunk (w8a8 opt-in)
+# ---------------------------------------------------------------------------
+
+_TRUNK_LINEARS = ("qkv_weight", "proj_weight", "fc1_weight", "fc2_weight")
+
+
+def quantize_rows(w):
+    """Symmetric per-output-channel int8 quantization of a [out, in] matmul
+    weight.  Returns (q int8 [out, in], scale f32 [out]) with w ~= q * scale.
+
+    127 (not 128) keeps the grid symmetric, so dequantization is a single
+    multiply; ties round to even like `jnp.round`."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=1)
+    s = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.round(w / s[:, None]).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def quantize_vision_tower_weights(params: Mapping) -> dict:
+    """Replace each ConchVisualModel trunk block's 2-D linear weights
+    (qkv/proj/fc1/fc2) with int8 tensors plus `<name>_scale` f32 vectors —
+    the layout `TimmViTBlock(quantized=True)` consumes.
+
+    Only the trunk's four per-block linears are quantized: they carry ~85%
+    of the extraction FLOPs.  The patch-embed conv, attentional poolers,
+    LayerNorms, biases and embeddings keep their float dtypes (pair with
+    `cast_vision_tower_weights` for the bf16 patch embed).  Quantize from
+    the f32 import BEFORE any bf16 pre-cast so the int8 grid is fit to the
+    unrounded weights."""
+    params = dict(params)
+    if "trunk" not in params:
+        raise ValueError("quantize_vision_tower_weights expects a "
+                         "ConchVisualModel param tree (no 'trunk' subtree)")
+    trunk = dict(params["trunk"])
+    for k, v in trunk.items():
+        if not k.startswith("block_"):
+            continue
+        block = dict(v)
+        for name in _TRUNK_LINEARS:
+            q, s = quantize_rows(block[name])
+            block[name] = q
+            block[name + "_scale"] = s
+        trunk[k] = block
+    params["trunk"] = trunk
+    return params

@@ -336,6 +336,23 @@ def _flash_self_attention(q: Array, k: Array, v: Array) -> Array:
     return ctx[:, :, :L]
 
 
+def _int8_dynamic_linear(h: Array, w_q: Array, w_s: Array) -> Array:
+    """w8a8 linear: per-token dynamic symmetric int8 activations against
+    per-output-channel static int8 weights (`precision.quantize_rows`).
+
+    y = (q(h) @ w_q^T) * s_h * s_w, with the s8 x s8 dot accumulating in
+    int32 — native MXU int8 mode on TPU (2x the bf16 MACs/cycle).  The
+    activation scale is fit per token (`max|h| / 127`), so h/s is in
+    [-127, 127] by construction and no clip is needed.  Bias is added by
+    the caller in f32, like the float path."""
+    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    s_h = jnp.maximum(amax, 1e-30) / 127.0
+    h_q = jnp.round(h / s_h).astype(jnp.int8)
+    acc = jax.lax.dot_general(h_q, w_q, (((h_q.ndim - 1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s_h * w_s[None, None, :])
+
+
 class TimmViTBlock(nn.Module):
     """timm vision_transformer.Block (pre-LN, fused qkv Linear, GELU MLP).
 
@@ -344,12 +361,37 @@ class TimmViTBlock(nn.Module):
     up to matmul rounding; bfloat16 halves the activation HBM traffic of
     the frozen extraction forward (LayerNorm statistics still run in f32
     via flax's promotion, matmuls still accumulate f32 — only the
-    carried stream and the residual adds round to bf16)."""
+    carried stream and the residual adds round to bf16).
+
+    `quantized` switches the four linears (qkv/proj/fc1/fc2 — ~85% of the
+    trunk FLOPs) to the w8a8 path: int8 weights + per-channel scales in
+    the param tree (`precision.quantize_vision_tower_weights` layout),
+    per-token dynamic activation quantization in-graph.  Attention itself
+    (flash kernel), LayerNorms, GELU, biases and the residual stream keep
+    the float path.  Inference-only: a frozen-tower semantics change that
+    needs accuracy validation against real weights before production use."""
     width: int
     heads: int
     mlp_ratio: float = 4.0
     compute_dtype: str = "float32"
     residual_dtype: str = "float32"
+    quantized: bool = False
+
+    def _linear_params(self, name: str, out_dim: int, in_dim: int):
+        if self.quantized:
+            w = self.param(name + "_weight", nn.initializers.zeros,
+                           (out_dim, in_dim), jnp.int8)
+            s = self.param(name + "_weight_scale", nn.initializers.ones,
+                           (out_dim,))
+            return w, s
+        return self.param(name + "_weight", nn.initializers.lecun_normal(),
+                          (out_dim, in_dim)), None
+
+    def _linear(self, h, w, s, cdt):
+        if self.quantized:
+            return _int8_dynamic_linear(h.astype(jnp.float32), w, s)
+        return jnp.dot(h.astype(cdt), w.T.astype(cdt),
+                       preferred_element_type=jnp.float32)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -359,12 +401,11 @@ class TimmViTBlock(nn.Module):
         cdt = jnp.dtype(self.compute_dtype)
         rdt = jnp.dtype(self.residual_dtype)
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        qkv_w = self.param("qkv_weight", nn.initializers.lecun_normal(), (3 * D, D))
+        qkv_w, qkv_s = self._linear_params("qkv", 3 * D, D)
         qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * D,))
-        proj_w = self.param("proj_weight", nn.initializers.lecun_normal(), (D, D))
+        proj_w, proj_s = self._linear_params("proj", D, D)
         proj_b = self.param("proj_bias", nn.initializers.zeros, (D,))
-        qkv = jnp.dot(h.astype(cdt), qkv_w.T.astype(cdt),
-                      preferred_element_type=jnp.float32) + qkv_b
+        qkv = self._linear(h, qkv_w, qkv_s, cdt) + qkv_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
         shp = lambda t: t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
         q, k, v = shp(q), shp(k), shp(v)
@@ -378,20 +419,15 @@ class TimmViTBlock(nn.Module):
             ctx = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(cdt), v.astype(cdt),
                              preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
-        x = x + (jnp.dot(ctx.astype(cdt), proj_w.T.astype(cdt),
-                         preferred_element_type=jnp.float32)
-                 + proj_b).astype(rdt)
+        x = x + (self._linear(ctx, proj_w, proj_s, cdt) + proj_b).astype(rdt)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        mlp_w1 = self.param("fc1_weight", nn.initializers.lecun_normal(),
-                            (int(D * self.mlp_ratio), D))
-        mlp_b1 = self.param("fc1_bias", nn.initializers.zeros, (int(D * self.mlp_ratio),))
-        mlp_w2 = self.param("fc2_weight", nn.initializers.lecun_normal(),
-                            (D, int(D * self.mlp_ratio)))
+        hid_dim = int(D * self.mlp_ratio)
+        mlp_w1, mlp_s1 = self._linear_params("fc1", hid_dim, D)
+        mlp_b1 = self.param("fc1_bias", nn.initializers.zeros, (hid_dim,))
+        mlp_w2, mlp_s2 = self._linear_params("fc2", D, hid_dim)
         mlp_b2 = self.param("fc2_bias", nn.initializers.zeros, (D,))
-        hid = _gelu(jnp.dot(h.astype(cdt), mlp_w1.T.astype(cdt),
-                            preferred_element_type=jnp.float32) + mlp_b1)
-        return x + (jnp.dot(hid.astype(cdt), mlp_w2.T.astype(cdt),
-                            preferred_element_type=jnp.float32)
+        hid = _gelu(self._linear(h, mlp_w1, mlp_s1, cdt) + mlp_b1)
+        return x + (self._linear(hid, mlp_w2, mlp_s2, cdt)
                     + mlp_b2).astype(rdt)
 
 
@@ -406,6 +442,7 @@ class TimmViTTrunk(nn.Module):
     heads: int = 12
     compute_dtype: str = "float32"
     residual_dtype: str = "float32"
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, images: Array) -> Array:
@@ -433,6 +470,7 @@ class TimmViTTrunk(nn.Module):
         for i in range(self.layers):
             x = TimmViTBlock(D, self.heads, compute_dtype=self.compute_dtype,
                              residual_dtype=self.residual_dtype,
+                             quantized=self.quantized,
                              name=f"block_{i}")(x)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)  # [B, 1+N, D]
 
@@ -488,13 +526,15 @@ class ConchVisualModel(nn.Module):
     output_tokens: bool = True
     compute_dtype: str = "float32"
     trunk_residual_dtype: str = "float32"
+    trunk_quantized: bool = False
 
     def setup(self):
         self.trunk = TimmViTTrunk(
             image_size=self.image_size, patch_size=self.patch_size,
             width=self.width, layers=self.layers, heads=self.heads,
             compute_dtype=self.compute_dtype,
-            residual_dtype=self.trunk_residual_dtype)
+            residual_dtype=self.trunk_residual_dtype,
+            quantized=self.trunk_quantized)
         self.attn_pool_contrast = AttentionalPooler(
             self.embed_dim_contrast, self.width, self.attn_pooler_heads,
             self.n_queries_contrast)
