@@ -382,6 +382,43 @@ def main():
                         "extractor's TPU default); tower_only excludes "
                         "preprocessing",
             }
+
+            # opt-in w8a8 int8 trunk lane (docs/PERF.md round-3 item 6):
+            # fused u8 pipeline with the quantized linears — the number the
+            # --trunk_quant flag buys.  Accuracy evidence: random-weight
+            # cosine > 0.995 (tests/test_int8_trunk.py); real-weight
+            # validation pending artifacts, hence reported as opt-in.
+            if _os.environ.get("VLSA_TPU_BENCH_EXTRACT_Q8", "1") == "1":
+                from vlsa_tpu.models.precision import (
+                    quantize_vision_tower_weights)
+                qparams = quantize_vision_tower_weights(
+                    jax.tree.map(lambda t: t.astype(jnp.float32)
+                                 if t.dtype == jnp.bfloat16 else t, vparams))
+                qparams = cast_vision_tower_weights(qparams)
+                vit_q8 = ConchVisualModel(image_size=448,
+                                          compute_dtype="bfloat16",
+                                          trunk_quantized=True)
+
+                def extract_q8_scan(p, xs):
+                    def body(chain, _):
+                        out = vit_q8.apply(
+                            {"params": p}, pre_dev(jnp.bitwise_xor(xs, chain)),
+                            method=ConchVisualModel.forward_no_head)
+                        return out[0, 0].astype(jnp.uint8), out
+                    _, outs = jax.lax.scan(body, jnp.uint8(0), jnp.arange(EN))
+                    return outs[-1]
+
+                extract_q8_jit = jax.jit(extract_q8_scan)
+                _ = float(extract_q8_jit(qparams, tiles_u8).sum())   # warm
+                t_q8 = float("inf")
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    _ = float(extract_q8_jit(qparams, tiles_u8).sum())
+                    t_q8 = min(t_q8, (time.perf_counter() - t0) / EN)
+                extract_detail["int8_trunk_opt_in"] = {
+                    "tiles_per_sec": round(EB / t_q8, 1),
+                    "speedup_vs_bf16": round(t_u8 / t_q8, 3),
+                }
             del vparams, imgs0, tiles_u8
         except Exception as exc:
             extract_detail = {"error": f"{type(exc).__name__}: {exc}"}
