@@ -110,9 +110,11 @@ def step_extract(args):
 
 
 def _detect_feat_format(feat_dir: str) -> str:
-    for f in sorted(os.listdir(feat_dir)):
-        ext = osp.splitext(f)[1].lstrip(".")
-        if ext in ("pt", "npy", "h5", "q8npz"):
+    exts = {osp.splitext(f)[1].lstrip(".") for f in os.listdir(feat_dir)}
+    # priority order: extraction writes coords .h5 SIDECARS next to the
+    # .npy/.q8npz stores, so .h5 only wins when it is the only candidate
+    for ext in ("q8npz", "npy", "pt", "h5"):
+        if ext in exts:
             return ext
     raise SystemExit(f"no .pt/.npy/.h5/.q8npz feature files in {feat_dir}")
 

@@ -552,3 +552,92 @@ def test_extract_cli_multi_device(tmp_path):
         a = np.load(outs["one"] / f"s{i}.npy")
         b = np.load(outs["four"] / f"s{i}.npy")
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# round-3 review regressions: atomic stores, empty slides, format detection,
+# CLIP pos-embed resize
+# ---------------------------------------------------------------------------
+
+
+def test_write_store_atomic(tmp_path, monkeypatch):
+    """resume relies on 'a store file only exists once fully written' —
+    the write must be temp+rename, and an interrupted write must leave
+    neither a truncated store nor a stray temp file."""
+    from vlsa_tpu.data.extract import write_feature_store
+    feats = RNG.normal(size=(4, 8)).astype(np.float32)
+    p = write_feature_store(str(tmp_path), "s1", feats, "npy",
+                            coords=np.zeros((4, 2), np.int64))
+    assert osp.exists(p) and osp.exists(tmp_path / "s1.h5")
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+    def boom(*a, **k):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(np, "save", boom)
+    import pytest as _pytest
+    with _pytest.raises(KeyboardInterrupt):
+        write_feature_store(str(tmp_path), "s2", feats, "npy")
+    assert not osp.exists(tmp_path / "s2.npy")
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+
+def test_extract_to_store_skips_empty_slide(tmp_path):
+    """A 0-tile slide must be skipped loudly (an empty store would later
+    surface as an empty training bag), not crash the cohort job."""
+    from vlsa_tpu.data.extract import FeatureExtractor, extract_to_store
+    src = tmp_path / "src"
+    src.mkdir()
+    np.save(src / "empty.npy", np.zeros((0, 70, 70, 3), np.uint8))
+    np.save(src / "ok.npy",
+            RNG.integers(0, 256, (5, 70, 70, 3)).astype(np.uint8))
+    fx = FeatureExtractor(model_name="conch", image_size=64, batch_size=4,
+                          compute_dtype="float32",
+                          model_overrides=dict(SMALL_CONCH))
+    stats = extract_to_store(str(src), str(tmp_path / "out"), fx)
+    assert stats["empty"] == 1 and stats["tiles"] == 5
+    assert not osp.exists(tmp_path / "out" / "empty.npy")
+    assert osp.exists(tmp_path / "out" / "ok.npy")
+
+
+def test_detect_feat_format_prefers_store_over_coords_sidecar(tmp_path):
+    """extraction writes coords .h5 sidecars next to .npy/.q8npz stores;
+    reproduce_blca's auto-detection must pick the feature format."""
+    import importlib.util
+    root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "repro_mod", osp.join(root, "scripts", "reproduce_blca.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    (tmp_path / "a.h5").write_bytes(b"x")
+    (tmp_path / "a.npy").write_bytes(b"x")
+    assert mod._detect_feat_format(str(tmp_path)) == "npy"
+    d2 = tmp_path / "only_h5"
+    d2.mkdir()
+    (d2 / "a.h5").write_bytes(b"x")
+    assert mod._detect_feat_format(str(d2)) == "h5"
+
+
+def test_clip_importer_resizes_pos_embed():
+    """A 224-grid CLIP checkpoint must load into a larger-input extractor
+    (timm-semantics interpolation, same helper as the CONCH importer)."""
+    from vlsa_tpu.models.vision_tower import import_clip_vit_state
+    D, P = 16, 8
+    ones = np.ones(D, np.float32)
+    st = {
+        "conv1.weight": RNG.normal(size=(D, 3, P, P)).astype(np.float32),
+        "class_embedding": RNG.normal(size=(D,)).astype(np.float32),
+        "positional_embedding":
+            RNG.normal(size=(17, D)).astype(np.float32),   # grid 4 (32 px)
+        "ln_pre.weight": ones, "ln_pre.bias": ones,
+        "ln_post.weight": ones, "ln_post.bias": ones,
+        "proj": RNG.normal(size=(D, 8)).astype(np.float32),
+    }
+    out = import_clip_vit_state(st, layers=0, prefix="",
+                                image_size=48, patch_size=P)
+    assert out["positional_embedding"].shape == (37, D)   # grid 6 + cls
+    # matching grid: verbatim
+    same = import_clip_vit_state(st, layers=0, prefix="",
+                                 image_size=32, patch_size=P)
+    np.testing.assert_array_equal(same["positional_embedding"],
+                                  st["positional_embedding"])

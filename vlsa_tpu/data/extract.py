@@ -205,7 +205,9 @@ class FeatureExtractor:
                     state, layers=model.layers, image_size=self.image_size,
                     patch_size=model.patch_size)
             else:
-                params = import_clip_vit_state(state, layers=model.layers)
+                params = import_clip_vit_state(
+                    state, layers=model.layers, image_size=self.image_size,
+                    patch_size=model.patch_size)
             params = jax.tree.map(jnp.asarray, params)
         elif trunk_quant:
             # random-weight path: init the FLOAT tower (real random weights),
@@ -278,13 +280,13 @@ class FeatureExtractor:
         return preprocess_batch(tiles, self.image_size,
                                 OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
 
-    def extract_preprocessed(self, x: np.ndarray) -> np.ndarray:
-        """f32 [N, 3, S, S] -> f32 [N, feat_dim].
-
-        Batches of `batch_size` are dispatched without blocking — device
+    def _run_batched(self, fn, x: np.ndarray) -> np.ndarray:
+        """Dispatch `x` through jitted `fn` in `batch_size` chunks (ragged
+        tail zero-padded and sliced off).  Dispatches don't block, so device
         compute for batch i overlaps the host work for batch i+1."""
-        jnp = self._jnp
         N, B = x.shape[0], self.batch_size
+        if N == 0:
+            return np.zeros((0, self.feat_dim), np.float32)
         outs = []
         for i in range(0, N, B):
             chunk = x[i:i + B]
@@ -292,8 +294,12 @@ class FeatureExtractor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - chunk.shape[0],) + chunk.shape[1:],
                                      chunk.dtype)], axis=0)
-            outs.append(self._fwd(self._params, jnp.asarray(chunk)))
+            outs.append(fn(self._params, self._jnp.asarray(chunk)))
         return np.concatenate([np.asarray(o) for o in outs], axis=0)[:N]
+
+    def extract_preprocessed(self, x: np.ndarray) -> np.ndarray:
+        """f32 [N, 3, S, S] -> f32 [N, feat_dim]."""
+        return self._run_batched(self._fwd, x)
 
     def _u8_pipeline(self, in_hw):
         """Jitted u8-batch -> features program (device preprocessing fused
@@ -315,21 +321,12 @@ class FeatureExtractor:
 
     def _extract_u8_on_device(self, arr: np.ndarray) -> np.ndarray:
         """u8 [N, H, W, 3] -> f32 [N, feat_dim], preprocessing on device."""
-        jnp = self._jnp
-        N, B = arr.shape[0], self.batch_size
-        fn = self._u8_pipeline(arr.shape[1:3])
-        outs = []
-        for i in range(0, N, B):
-            chunk = arr[i:i + B]
-            if chunk.shape[0] < B:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((B - chunk.shape[0],) + chunk.shape[1:],
-                                     chunk.dtype)], axis=0)
-            outs.append(fn(self._params, jnp.asarray(chunk)))
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:N]
+        return self._run_batched(self._u8_pipeline(arr.shape[1:3]), arr)
 
     def extract(self, tiles) -> np.ndarray:
         """uint8 tiles -> f32 [N, feat_dim] features."""
+        if len(tiles) == 0:
+            return np.zeros((0, self.feat_dim), np.float32)
         if self._device_preprocess:
             arr = np.asarray(tiles) if not isinstance(tiles, list) else None
             if arr is None and tiles and len({t.shape for t in tiles}) == 1:
@@ -349,25 +346,45 @@ def write_feature_store(out_dir: str, sid: str, feats: np.ndarray,
                         fmt: str = "npy",
                         coords: Optional[np.ndarray] = None,
                         coord_dir: Optional[str] = None) -> str:
-    """Write one slide's features (+ optional CLAM-style coords .h5)."""
+    """Write one slide's features (+ optional CLAM-style coords .h5).
+
+    Writes are ATOMIC (temp file + os.replace): `resume` relies on the
+    invariant that a store file only exists once fully written, and a
+    cohort job killed mid-write must not leave a truncated store that a
+    restart would silently skip."""
     os.makedirs(out_dir, exist_ok=True)
     if fmt == "npy":
         path = osp.join(out_dir, sid + ".npy")
-        np.save(path, feats.astype(np.float32))
     elif fmt == "q8npz":
-        from .pipeline import feats_inv_norms, quantize_feats_int8
-        q, scale = quantize_feats_int8(feats.astype(np.float32))
         path = osp.join(out_dir, sid + ".q8npz")
-        with open(path, "wb") as f:
-            np.savez(f, q=q, scale=scale, inv=feats_inv_norms(q))
     else:
         raise ValueError(f"unknown feature store format '{fmt}'")
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            if fmt == "npy":
+                np.save(f, feats.astype(np.float32))
+            else:
+                from .pipeline import feats_inv_norms, quantize_feats_int8
+                q, scale = quantize_feats_int8(feats.astype(np.float32))
+                np.savez(f, q=q, scale=scale, inv=feats_inv_norms(q))
+        os.replace(tmp, path)
+    finally:
+        if osp.exists(tmp):
+            os.remove(tmp)
     if coords is not None:
         import h5py
         cdir = coord_dir or out_dir
         os.makedirs(cdir, exist_ok=True)
-        with h5py.File(osp.join(cdir, sid + ".h5"), "w") as hf:
-            hf.create_dataset("coords", data=np.asarray(coords))
+        cpath = osp.join(cdir, sid + ".h5")
+        ctmp = cpath + ".tmp"
+        try:
+            with h5py.File(ctmp, "w") as hf:
+                hf.create_dataset("coords", data=np.asarray(coords))
+            os.replace(ctmp, cpath)
+        finally:
+            if osp.exists(ctmp):
+                os.remove(ctmp)
     return path
 
 
@@ -406,7 +423,22 @@ def extract_to_store(source_path: str, out_dir: str,
         sources = remaining
 
     n_tiles = 0
+    n_empty = 0
     t0 = time.perf_counter()
+
+    def process(sid, tiles, coords) -> int:
+        if len(tiles) == 0:
+            # an empty store would later surface as an empty training bag;
+            # skip it loudly instead
+            print(f"[extract] WARNING: {sid} has 0 tiles — no store written")
+            return 0
+        feats = extractor.extract(tiles)
+        write_feature_store(out_dir, sid, feats, fmt, coords, coord_dir)
+        if verbose:
+            print(f"[extract] {sid}: {len(tiles)} tiles -> "
+                  f"{osp.join(out_dir, sid)}.{fmt}")
+        return len(tiles)
+
     if prefetch and len(sources) > 1:
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=1)
@@ -416,24 +448,18 @@ def extract_to_store(source_path: str, out_dir: str,
                 tiles, coords = pending.result()
                 pending = (pool.submit(read_tiles, sources[i + 1][1])
                            if i + 1 < len(sources) else None)
-                feats = extractor.extract(tiles)
-                write_feature_store(out_dir, sid, feats, fmt, coords,
-                                    coord_dir)
-                n_tiles += len(tiles)
-                if verbose:
-                    print(f"[extract] {sid}: {len(tiles)} tiles -> "
-                          f"{osp.join(out_dir, sid)}.{fmt}")
+                n = process(sid, tiles, coords)
+                n_tiles += n
+                n_empty += n == 0
         finally:
             pool.shutdown(wait=False)
     else:
         for sid, src in sources:
             tiles, coords = read_tiles(src)
-            feats = extractor.extract(tiles)
-            write_feature_store(out_dir, sid, feats, fmt, coords, coord_dir)
-            n_tiles += len(tiles)
-            if verbose:
-                print(f"[extract] {sid}: {len(tiles)} tiles -> "
-                      f"{osp.join(out_dir, sid)}.{fmt}")
+            n = process(sid, tiles, coords)
+            n_tiles += n
+            n_empty += n == 0
     dt = time.perf_counter() - t0
     return {"slides": len(sources), "tiles": n_tiles, "skipped": n_skipped,
+            "empty": n_empty,
             "tiles_per_sec": n_tiles / dt if dt > 0 else float("inf")}

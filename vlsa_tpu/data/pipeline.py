@@ -286,7 +286,9 @@ class BagBatcher:
         if not hasattr(ds, "bag_paths"):
             return None
         groups = [ds.bag_paths(int(i)) for i in indices]
-        if any(g is None for g in groups):
+        # empty groups (e.g. a patient whose slide files are all missing)
+        # fall back to the numpy path, which produces the diagnostic
+        if any(not g for g in groups):
             return None
         q8 = groups[0][0].endswith(".q8npz")
         if q8 and self.feats_dtype != "int8":

@@ -78,13 +78,26 @@ class CLIPViT(nn.Module):
 
 
 def import_clip_vit_state(state: dict, layers: int,
-                          prefix: str = "visual.") -> dict:
-    """torch CLIP visual state dict -> CLIPViT params."""
+                          prefix: str = "visual.",
+                          image_size: Optional[int] = None,
+                          patch_size: Optional[int] = None) -> dict:
+    """torch CLIP visual state dict -> CLIPViT params.
+
+    When `image_size`/`patch_size` are given and the checkpoint's grid
+    differs (e.g. the released 224-trained OpenAI weights loaded into a
+    448-input extractor), the positional embedding is interpolated with
+    the same timm-semantics `resize_pos_embed` the CONCH importer uses."""
     g = lambda k: np.asarray(state[prefix + k])
+    pos = g("positional_embedding")            # [1 + g*g, D]
+    if image_size is not None and patch_size is not None:
+        new_g = image_size // patch_size
+        if pos.shape[0] != new_g * new_g + 1:
+            pos = resize_pos_embed(pos[None], (new_g, new_g),
+                                   num_prefix_tokens=1)[0]
     params = {
         "conv1_weight": g("conv1.weight"),
         "class_embedding": g("class_embedding"),
-        "positional_embedding": g("positional_embedding"),
+        "positional_embedding": pos,
         "ln_pre": {"scale": g("ln_pre.weight"), "bias": g("ln_pre.bias")},
         "ln_post": {"scale": g("ln_post.weight"), "bias": g("ln_post.bias")},
         "proj": g("proj"),
