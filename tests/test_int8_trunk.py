@@ -126,3 +126,22 @@ def test_extractor_trunk_quant_plumbing(tmp_path):
     with pytest.raises(ValueError):
         FeatureExtractor(model_name="clip_vit", trunk_quant=True,
                          image_size=64, batch_size=2)
+
+
+def test_trunk_quant_multi_device_matches_single():
+    """int8 params (weights + scales) must replicate over the extraction
+    data mesh exactly like float params — sharded quantized extraction
+    reproduces the single-device features bit-for-bit."""
+    import jax
+    from vlsa_tpu.data.extract import FeatureExtractor
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+    kw = dict(model_name="conch", image_size=32, batch_size=4, seed=0,
+              compute_dtype="float32", trunk_quant=True,
+              model_overrides=dict(SMALL_CONCH))
+    tiles = RNG.integers(0, 255, (10, 32, 32, 3), dtype=np.uint8)
+    a = FeatureExtractor(**kw).extract(tiles)
+    b = FeatureExtractor(num_devices=4, **kw).extract(tiles)
+    assert a.shape == b.shape == (10, SMALL_CONCH["embed_dim_contrast"])
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
