@@ -42,3 +42,22 @@ def test_accum_matches_single_step():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r4), rtol=1e-5, atol=1e-6)
+
+
+def test_accum_matches_single_step_ragged_tail():
+    """Padded tail batches give microbatches UNEQUAL valid counts; the
+    valid-count-weighted combine must still reproduce the accum=1 batched
+    masked-mean loss and gradient exactly (averaging per-microbatch means
+    would weight a lone valid bag in one microbatch 4x)."""
+    eng1, params, opt_state, batch = _setup(1)
+    eng4, params4, opt_state4, _ = _setup(4)
+    # 5 valid bags: microbatches of 2 get valid counts 2, 2, 1, 0
+    valid = jnp.asarray([True] * 5 + [False] * 3)
+    batch = dict(batch, valid=valid)
+    key = jax.random.PRNGKey(3)
+    p1, _, l1, _ = eng1.train_step()(params, opt_state, batch, key)
+    p4, _, l4, _ = eng4.train_step()(params4, opt_state4, batch, key)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -99,9 +99,10 @@ class AttentionPooling(nn.Module):
             pooled = abmil_pool_sp(x, mask, k1.T, b1, k2[:, 0], self.sp_mesh,
                                    axis=self.sp_axis, batch_axis=self.dp_axis)
             return pooled, None
+        from ..ops.flags import pallas_disabled
         fused_ok = (x.ndim == 3 and not need_attn and x.shape[1] >= 256
                     and pick_block(x.shape[1]) is not None
-                    and _os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")
+                    and not pallas_disabled())
         if fused_ok:
             pooled = _abmil.abmil_pool(x, mask, k1.T, b1, k2[:, 0], b2[0],
                                        x_scale=x_scale)

@@ -304,9 +304,9 @@ def _use_flash_attention(L: int) -> bool:
     HBM (~1.9 GB per layer at B=64, L=785) — the dominant traffic of the
     extraction forward.  On TPU, route through JAX's fused Pallas flash
     kernel whenever the sequence is long enough to matter."""
-    import os
+    from ..ops.flags import pallas_disabled
     return (jax.default_backend() == "tpu" and L >= 256
-            and os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")
+            and not pallas_disabled())
 
 
 def _flash_self_attention(q: Array, k: Array, v: Array) -> Array:

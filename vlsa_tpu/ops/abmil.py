@@ -548,7 +548,14 @@ def abmil_pool(x, mask, w1, b1, w2, b2, use_pallas: Optional[bool] = None,
     the native int8 kernels stream 1 byte/feature and never materialise the
     dequantized bag (weight grads only — stored features are data)."""
     if use_pallas is None:
-        use_pallas = _HAS_PALLAS and jax.default_backend() == "tpu"
+        # same eligibility guard as coattn_pool: kernel needs a valid tile
+        # for N, and the debugging knob must cover this op too — callers
+        # that skip their own check fall back to the XLA reference instead
+        # of tripping the kernel's block assert
+        from .flags import pallas_disabled
+        use_pallas = (_HAS_PALLAS and jax.default_backend() == "tpu"
+                      and pick_block(x.shape[1]) is not None
+                      and not pallas_disabled())
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
     if x.dtype == jnp.int8:

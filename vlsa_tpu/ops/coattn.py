@@ -722,9 +722,10 @@ def coattn_pool(q: Array, x: Array, mask: Optional[Array], scale,
             "int8 features are constants; use x_stop_gradient=True " \
             "(quantized storage cannot back-propagate into a feat projecter)"
     if use_pallas is None:
+        from .flags import pallas_disabled
         use_pallas = (_HAS_PALLAS and jax.default_backend() == "tpu"
                       and _pick_block(x.shape[1], x.dtype) is not None
-                      and os.environ.get("VLSA_TPU_DISABLE_PALLAS") != "1")
+                      and not pallas_disabled())
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
     if use_pallas:

@@ -34,7 +34,11 @@ def _local_partials(q, x, mask, scale):
     stop-gradient'ed: AD then never differentiates through max/pmax and the
     backward is the exact softmax gradient (standard flash-attention trick).
     """
-    xn = l2_normalize(x, axis=-1)
+    # norms accumulate in f32 regardless of the feature storage dtype —
+    # bf16 sum(x*x) over C=512 carries ~0.5% error straight into every
+    # logit; the fused kernels compute inv-norms in f32 (_inv_norm_row)
+    # and SP must stay numerically comparable to them
+    xn = l2_normalize(x.astype(jnp.float32), axis=-1)
     logits = scale * jnp.einsum("pc,bnc->bpn", q, xn)
     logits = jnp.where(mask[:, None, :], logits, -1e30)
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1))  # [B, P]

@@ -31,16 +31,22 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     visible (e.g. the virtual CPU test mesh)."""
     if dcn_data and dcn_data > 1:
         from jax.experimental import mesh_utils
+        n_avail = len(devices) if devices is not None else len(jax.devices())
         try:
             dev = mesh_utils.create_hybrid_device_mesh(
-                (n_data or (len(jax.devices()) // (dcn_data * n_model)), n_model),
+                (n_data or (n_avail // (dcn_data * n_model)), n_model),
                 (dcn_data, 1), devices=devices)
             dev = dev.reshape(-1, n_model)
             return Mesh(dev, ("data", "model"))
         except (ValueError, AssertionError) as exc:
             print(f"[mesh] hybrid DCN mesh unavailable ({exc}); "
-                  f"using a flat mesh with data={dcn_data}x{n_data}")
-            n_data = (n_data or 1) * dcn_data
+                  f"using a flat mesh with data={dcn_data}x{n_data or 'auto'}")
+            # keep None as None: the flat path below re-infers the FULL
+            # data extent from the device count (an inferred n_data here
+            # would silently build a dcn_data*n_model-device mesh and idle
+            # the rest)
+            if n_data is not None:
+                n_data = n_data * dcn_data
     devices = np.array(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model

@@ -14,6 +14,7 @@ VLFAN co-attention then runs the partial-softmax shard_map path).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional
 
 import jax
@@ -93,9 +94,14 @@ class TrainEngine:
         self.tensor_parallel = tensor_parallel
         self.seq_parallel = seq_parallel
         # adahessian: the step also computes a Hutchinson Hessian-diagonal
-        # estimate (forward-over-reverse; use the XLA coattn path —
-        # custom-vjp Pallas kernels have no JVP rule)
+        # estimate (forward-over-reverse; custom-vjp Pallas kernels have no
+        # JVP rule, so that step's trace is scoped through
+        # ops.flags.disable_pallas and runs the XLA reference path)
         self.needs_hessian = needs_hessian
+        # donate params/opt_state into the step so XLA aliases them in
+        # place instead of holding old+new copies live (no-op on CPU, where
+        # jit would only warn)
+        self.donate = bool(donate) and jax.default_backend() in ("tpu", "gpu")
         # pytree of bools marking frozen subtrees: their leaves are
         # stop-gradient'd inside the loss so AD never runs the (potentially
         # huge) backward through them — mirroring torch requires_grad=False
@@ -103,7 +109,9 @@ class TrainEngine:
         # masking alone does not
         self.frozen = frozen
         # accum_steps > 1: lax.scan over microbatches inside the jitted step
-        # (memory headroom for very long bags; same averaged gradient)
+        # (memory headroom for very long bags; valid-count-weighted combine
+        # reproduces the accum=1 loss/gradient exactly for per-bag-mean
+        # objectives even on padded ragged tails)
         self.accum_steps = accum_steps
         self._train_step = None
         self._eval_step = None
@@ -176,12 +184,14 @@ class TrainEngine:
                              logit_scale=ls, query_div_fn=qd)
             return loss, raw
 
+        donate_kw = dict(donate_argnums=(0, 1)) if self.donate else {}
         if self.needs_hessian:
             assert accum <= 1, "adahessian + accum_steps unsupported"
             from ..optim.extra import hutchinson_hessian_diag
+            from ..ops.flags import disable_pallas
 
-            @jax.jit
-            def step(params, opt_state, batch, rng):
+            @functools.partial(jax.jit, **donate_kw)
+            def hstep(params, opt_state, batch, rng):
                 (loss, raw), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch, rng)
                 hd = hutchinson_hessian_diag(
@@ -191,8 +201,15 @@ class TrainEngine:
                                                    hessian_diag=hd)
                 new_params = optax.apply_updates(params, updates)
                 return new_params, new_opt_state, loss, raw
+
+            def step(params, opt_state, batch, rng):
+                # the Hutchinson jvp cannot differentiate custom_vjp Pallas
+                # kernels; scope tracing (whenever jit decides to trace) to
+                # the XLA reference path without the process-global env knob
+                with disable_pallas():
+                    return hstep(params, opt_state, batch, rng)
         elif accum <= 1:
-            @jax.jit
+            @functools.partial(jax.jit, **donate_kw)
             def step(params, opt_state, batch, rng):
                 (loss, raw), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch, rng)
@@ -200,7 +217,7 @@ class TrainEngine:
                 new_params = optax.apply_updates(params, updates)
                 return new_params, new_opt_state, loss, raw
         else:
-            @jax.jit
+            @functools.partial(jax.jit, **donate_kw)
             def step(params, opt_state, batch, rng):
                 B = batch["feats"].shape[0]
                 assert B % accum == 0, "batch not divisible by accum_steps"
@@ -209,22 +226,35 @@ class TrainEngine:
                     lambda v: v.reshape((accum, mb) + v.shape[1:]), batch)
                 rngs = jax.random.split(rng, accum)
 
+                # Weight each microbatch by its VALID-bag count: tail
+                # batches are padded (valid=False rows), and averaging
+                # per-microbatch masked MEANS would weight a lone valid bag
+                # in one microbatch as heavily as many in another.  The
+                # weighted combine reproduces the accum=1 batched loss and
+                # gradient exactly for per-bag-mean objectives (weights sum
+                # to 1, so parameter-only terms like query_div/L1 are also
+                # preserved); batch-coupled objectives (Cox risk sets,
+                # SurvT2I columns) remain microbatch-restricted, as any
+                # gradient accumulation must be.
                 def scan_body(carry, xs):
                     micro, r = xs
                     (loss, raw), grads = jax.value_and_grad(
                         loss_fn, has_aux=True)(params, micro, r)
-                    acc_grads, acc_loss = carry
-                    acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-                    return (acc_grads, acc_loss + loss), raw
+                    w = jnp.sum(micro["valid"].astype(jnp.float32))
+                    acc_grads, acc_loss, acc_w = carry
+                    acc_grads = jax.tree.map(lambda a, g: a + w * g,
+                                             acc_grads, grads)
+                    return (acc_grads, acc_loss + w * loss, acc_w + w), raw
 
                 zero = jax.tree.map(jnp.zeros_like, params)
-                (grads, loss_sum), raws = jax.lax.scan(
-                    scan_body, (zero, 0.0), (stacked, rngs))
-                grads = jax.tree.map(lambda g: g / accum, grads)
+                (grads, loss_sum, w_tot), raws = jax.lax.scan(
+                    scan_body, (zero, 0.0, 0.0), (stacked, rngs))
+                w_tot = jnp.maximum(w_tot, 1.0)
+                grads = jax.tree.map(lambda g: g / w_tot, grads)
                 updates, new_opt_state = tx.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
                 raw = raws.reshape((B,) + raws.shape[2:])
-                return new_params, new_opt_state, loss_sum / accum, raw
+                return new_params, new_opt_state, loss_sum / w_tot, raw
 
         self._train_step = step
         return step
