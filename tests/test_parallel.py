@@ -386,3 +386,31 @@ def test_sa_train_step_model_axis_matches_dp():
     np.testing.assert_allclose(loss_sp, loss_dp, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p_sp), jax.tree.leaves(p_dp)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_coattn_sp_bf16_storage_close_to_f32_reference():
+    """SP on bf16-stored features must compute the per-patch norms in f32:
+    a bf16 sum(x*x) over C carries ~0.5-1% norm error into every logit,
+    which breaks SP-vs-fused-kernel comparability (the kernels compute
+    inv-norms in f32)."""
+    mesh = make_mesh(n_data=2, n_model=4)
+    B, N, C, Pq = 2, 64, 64, 5
+    q = jnp.asarray(RNG.normal(size=(Pq, C)).astype(np.float32))
+    xf = RNG.normal(size=(B, N, C)).astype(np.float32)
+    x16 = jnp.asarray(xf).astype(jnp.bfloat16)
+    mask = jnp.ones((B, N), bool)
+    # reference on the SAME bf16-rounded values in f32 math: the only
+    # remaining SP error is bf16 operand rounding inside the einsums
+    ref = coattn_pool_reference(q, jnp.asarray(np.asarray(x16, np.float32)),
+                                mask, 30.0)
+    got = coattn_pool_sp(q, x16, mask, 30.0, mesh, axis="model")
+    rel = (np.linalg.norm(np.asarray(got, np.float32) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 2e-3, rel
+
+
+def test_make_mesh_dcn_fallback_infers_full_extent():
+    """dcn fallback with n_data=None must re-infer data from the FULL
+    device count (8/model) instead of silently using dcn_data devices."""
+    mesh = make_mesh(n_data=None, n_model=2, dcn_data=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
