@@ -48,9 +48,10 @@ N, D, K = 10240, 512, 12
 def main():
     import jax
     # persistent compilation cache: repeated bench runs (e.g. the driver's)
-    # skip the multi-minute remote TPU compile
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # skip the multi-minute remote TPU compile (machine-fingerprinted when
+    # benching on a CPU host — see vlsa_tpu/compile_cache.py)
+    from vlsa_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import optax
 

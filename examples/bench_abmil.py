@@ -24,7 +24,8 @@ def main():
     import numpy as np
     import optax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    from vlsa_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from vlsa_tpu.losses import surv_ifmle
     from vlsa_tpu.models import DeepMIL
     from vlsa_tpu.optim import create_optimizer

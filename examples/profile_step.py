@@ -27,7 +27,8 @@ def main():
     from vlsa_tpu.losses import surv_ifmle
     from vlsa_tpu.optim import create_optimizer
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    from vlsa_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
     model, params = _build_flagship(small=False, tower_dtype="bfloat16")
     tx = create_optimizer("adam", 2e-4, 1e-5, params)
     opt_state = tx.init(params)

@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--save", default="/tmp/tpu-demo")
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    from vlsa_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from vlsa_tpu.runner import SAHandler
 

@@ -91,15 +91,9 @@ def _enable_compile_cache():
     """Persistent XLA compilation cache: extraction runs are one-shot CLI
     invocations, so without this every run pays the full tower compile
     (minutes on TPU, ~8 min for the unrolled trunk on a weak CPU host)."""
-    import jax
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("VLSA_TPU_COMPILE_CACHE",
-                           osp.expanduser("~/.cache/jax_comp_cache")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from vlsa_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache(os.environ.get(
+        "VLSA_TPU_COMPILE_CACHE", osp.expanduser("~/.cache/jax_comp_cache")))
 
 
 def _apply_platform(platform):

@@ -21,9 +21,15 @@ jax.config.update("jax_platforms", "cpu")
 # compiles of the jitted train/eval engines (the synthetic cohorts are
 # cheap), so re-runs hit the cache keyed on the HLO hash — code changes
 # invalidate exactly the programs they change.
+# The directory is suffixed with a host-CPU fingerprint: CPU entries are
+# AOT machine code, and reusing them across machine variants can SIGILL
+# (vlsa_tpu/compile_cache.py).
+from vlsa_tpu.compile_cache import cache_dir_for  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("VLSA_TPU_TEST_CACHE",
-                                 "/root/.cache/jax_test_comp_cache"))
+                  cache_dir_for(os.environ.get(
+                      "VLSA_TPU_TEST_CACHE",
+                      "/root/.cache/jax_test_comp_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ROOT = "/root/reference"
