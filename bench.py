@@ -424,6 +424,70 @@ def main():
         except Exception as exc:
             extract_detail = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # --- batched Shapley interpretation throughput (BASELINE config 4:
+    # "Batched Shapley-values interpretation over TCGA-BLCA test split").
+    # Per patient: VLFAN forward with attention, the decoupled prior-by-bin
+    # similarity (ref utils/model_inference.py:81-144) and the exact 2^12-
+    # coalition Shapley attribution (ref 23-79) — all vmapped on device.
+    # The reference loops patients AND coalitions in Python on CPU. ---
+    interp_detail = None
+    if _os.environ.get("VLSA_TPU_BENCH_INTERP", "1") == "1":
+        try:
+            from vlsa_tpu.interpret.shapley import batched_shapley
+            from vlsa_tpu.ops.masked import l2_normalize
+            IB = int(_os.environ.get("VLSA_TPU_BENCH_INTERP_B", "64"))
+            IN_SCAN = 10
+            logit_scale_v = jnp.exp(params["logit_scale"])
+            ifeats = jnp.asarray(
+                np.random.default_rng(1).normal(size=(IB, N, D))
+                .astype(np.float32)).astype(jnp.bfloat16)
+            imask = jnp.ones((IB, N), bool)
+
+            def interp_batch(p, feats_b, mask_b):
+                variables = {"params": p}
+                text = model.apply(variables, method=model.forward_text_only)
+                norm_text = l2_normalize(text, axis=-1)            # [K, E]
+
+                def _run(m):
+                    img, attn = m.encode_instances(feats_b, mask_b,
+                                                   ret_with_attn=True)
+                    A = attn[0] if isinstance(attn, tuple) else attn
+                    enc = m.mil_encoder.visual_adapter(feats_b)
+                    L_img = jnp.linalg.norm(img, axis=-1)
+                    dec = jnp.einsum("bpn,bnk->bpk", A,
+                                     (enc / L_img[:, None, None])
+                                     @ norm_text.T)
+                    return dec
+                dec = model.apply(variables, method=_run)
+                return batched_shapley(dec, logit_scale_v)
+
+            def interp_scan(p, feats_b, mask_b):
+                def body(chain, _):
+                    shap = interp_batch(p, feats_b + chain * 1e-30, mask_b)
+                    return shap[0, 0].astype(jnp.bfloat16), shap
+                _, outs = jax.lax.scan(body, jnp.bfloat16(0.0),
+                                       jnp.arange(IN_SCAN))
+                return outs[-1]
+
+            interp_jit = jax.jit(interp_scan)
+            _ = float(interp_jit(params, ifeats, imask).sum())   # warm
+            t_interp = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                _ = float(interp_jit(params, ifeats, imask).sum())
+                t_interp = min(t_interp, (time.perf_counter() - t0) / IN_SCAN)
+            interp_detail = {
+                "patients_per_sec": round(IB / t_interp, 1),
+                "batch_patients": IB,
+                "coalitions_per_patient": 4096,
+                "note": ("decoupled similarity + exact 2^12-coalition "
+                         "Shapley, vmapped (ref model_inference.py:23-144 "
+                         "loops both in Python)"),
+            }
+            del ifeats
+        except Exception as exc:
+            interp_detail = {"error": f"{type(exc).__name__}: {exc}"}
+
     # --- analytic roofline accounting (VERDICT r1 weak#2: report achieved
     # GB/s + FLOP/s so perf regressions are visible) ---
     n_tower_params = sum(
@@ -500,6 +564,8 @@ def main():
         result["detail"][other_name]["task_accuracy"] = int8_accuracy
     if extract_detail is not None:
         result["detail"]["feature_extraction"] = extract_detail
+    if interp_detail is not None:
+        result["detail"]["interpretation"] = interp_detail
     if measured is not None:
         result["detail"]["measured_reference_cpu"] = {
             "reference_slides_per_sec_cpu": measured["reference_slides_per_sec_cpu"],
