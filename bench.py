@@ -42,7 +42,11 @@ import os as _os
 # production runner).  The bf16 near-reference-numerics lane is measured
 # alongside every run (`bf16_lane` detail block).
 B = int(_os.environ.get("VLSA_TPU_BENCH_B", 256))
-N, D, K = 10240, 512, 12
+# Bag length is parameterizable for long-context datapoints (e.g. a 100k-patch
+# whole-slide bag: VLSA_TPU_BENCH_B=8 VLSA_TPU_BENCH_N=102400) — the streaming
+# co-attention kernels are O(N) in HBM and never materialize [B, N, P].
+N = int(_os.environ.get("VLSA_TPU_BENCH_N", 10240))
+D, K = 512, 12
 
 
 def main():
@@ -61,7 +65,10 @@ def main():
     from vlsa_tpu.optim import create_optimizer
 
     dtype = os.environ.get("VLSA_TPU_BENCH_DTYPE", "bfloat16")
-    model, params = _build_flagship(small=False, tower_dtype=dtype)
+    # VLSA_TPU_BENCH_SMALL=1 swaps in the 2-layer test tower — CI smoke only
+    # (tests/test_bench_smoke.py); the driver's headline runs keep small=0
+    small = os.environ.get("VLSA_TPU_BENCH_SMALL", "0") == "1"
+    model, params = _build_flagship(small=small, tower_dtype=dtype)
     # production semantics: the text tower is frozen during VLSA training
     # (ref runner/vlsa_handler.py:126-149) — no grads, no moments for it
     frozen_tower = _os.environ.get("VLSA_TPU_BENCH_FROZEN_TOWER", "1") == "1"
@@ -533,7 +540,7 @@ def main():
     vs_analytic = round(slides_per_sec / REFERENCE_SLIDES_PER_SEC, 2)
     vs_measured = (measured or {}).get("measured_cpu_ratio")
     result = {
-        "metric": "slides/sec at 10k-patch bags (train+infer step)",
+        "metric": f"slides/sec at {N // 1024}k-patch bags (train+infer step)",
         "value": round(slides_per_sec, 2),
         "unit": "slides/sec",
         "vs_baseline": vs_measured if vs_measured is not None else vs_analytic,
