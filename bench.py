@@ -230,16 +230,17 @@ def main():
         _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return outs[-1]
 
-    tf_pre, q_pre = jax.jit(
-        lambda p: model.apply({"params": p}, method=model.text_precompute))(params)
-    infer_pre_jit = jax.jit(functools.partial(infer_pre_scan, n=SCAN_N))
-    _ = float(infer_pre_jit(params, feats, mask, tf_pre, q_pre).sum())
     t_infer_pre = float("inf")
-    for _rep in range(2):
-        t0 = time.perf_counter()
-        out = infer_pre_jit(params, feats, mask, tf_pre, q_pre)
-        _ = float(out.sum())
-        t_infer_pre = min(t_infer_pre, (time.perf_counter() - t0) / SCAN_N)
+    if _os.environ.get("VLSA_TPU_BENCH_PRE", "1") == "1":  # extra compile; 0 for sweeps
+        tf_pre, q_pre = jax.jit(
+            lambda p: model.apply({"params": p}, method=model.text_precompute))(params)
+        infer_pre_jit = jax.jit(functools.partial(infer_pre_scan, n=SCAN_N))
+        _ = float(infer_pre_jit(params, feats, mask, tf_pre, q_pre).sum())
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            out = infer_pre_jit(params, feats, mask, tf_pre, q_pre)
+            _ = float(out.sum())
+            t_infer_pre = min(t_infer_pre, (time.perf_counter() - t0) / SCAN_N)
     if profile_dir:
         jax.profiler.stop_trace()
         print(f"[bench] profile trace written to {profile_dir}")
@@ -552,7 +553,9 @@ def main():
         "detail": {
             "train_step_ms": round(t_train * 1e3, 2),
             "infer_step_ms": round(t_infer * 1e3, 2),
-            "infer_step_precomputed_text_ms": round(t_infer_pre * 1e3, 2),
+            "infer_step_precomputed_text_ms": (
+                None if t_infer_pre == float("inf")
+                else round(t_infer_pre * 1e3, 2)),
             "batch_bags": B,
             "patches_per_bag": N,
             "backend": jax.default_backend(),
