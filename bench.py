@@ -6,10 +6,21 @@ all losses, backward, optimizer update) AND one inference forward; the metric
 is slides / (t_train + t_infer) per batch, jitted, steady-state, on whatever
 backend is available (real TPU chip under the driver).
 
+DEADLINE SAFETY (round-4, after BENCH_r03 rc=124): the headline JSON line is
+printed AND flushed immediately after the headline train/infer timings — a
+driver timeout later can no longer erase the round's number.  Every optional
+lane (secondary storage lane, precomputed-text eval, extraction x3,
+interpretation) is gated on a wall-clock budget (VLSA_TPU_BENCH_BUDGET_S,
+default 480 s) and the full JSON is re-printed after each lane completes, so
+the LAST line is always the most complete result and every printed line
+carries the same metric/value/vs_baseline headline fields.
+
 Reference denominator (vs_baseline): the upstream repo publishes no
-throughput numbers (ref README.md — hardware only), so the denominator is an
-analytic estimate of the reference configuration on its own hardware, 2x RTX
-3090 used as independent runs => one 3090 per run (ref README.md:35-37):
+throughput numbers (ref README.md — hardware only).  The headline ratio is
+the MEASURED same-host CPU-vs-CPU ratio (scripts/measure_reference.py runs
+the actual reference train-step semantics and ours on the same silicon,
+BASELINE_MEASURED.json); the analytic estimate of the reference on its own
+2x RTX 3090 stays as secondary context:
   * per-bag cost is dominated by the text tower: the reference re-runs the
     12-layer/768-wide CONCH tower forward AND backward for every bag
     (ref model/vlsa.py:181-198 calls forward_text_only inside every net(X);
@@ -20,33 +31,60 @@ analytic estimate of the reference configuration on its own hardware, 2x RTX
   * one 3090 at a generous 25% fp32 utilisation (8.9 TFLOP/s effective)
     => ~88 ms/bag => ~11 slides/sec; we round UP to 12.0 slides/sec to keep
     the reported ratio conservative.
-Our design amortises the text tower over the whole 32-bag batch (identical
+Our design amortises the text tower over the whole batch (identical
 gradients — the per-bag text forwards in the reference are over identical
 parameters), which is where most of the speedup comes from; the rest is the
 fused co-attention kernel + batched MXU-friendly shapes.
+
+When the run config differs from the baseline-measured one (B=256, N=10240,
+full tower — BASELINE_MEASURED.json), vs_baseline is null: sweep outputs
+must not be read as baseline comparisons.
 """
 from __future__ import annotations
 
-import json
 import functools
+import json
+import os as _os
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_SLIDES_PER_SEC = 12.0  # analytic estimate, see module docstring
-import os as _os
-# Defaults = the measured-best configuration (VERDICT r2 #4): B=256 amortises
-# the B-independent text-tower time, int8 feature storage halves the HBM
-# stream again — and the int8 lane now carries task-level accuracy evidence
-# (INT8_ACCURACY.json: C-index deviation 0.0000 vs f32 through the
-# production runner).  The bf16 near-reference-numerics lane is measured
-# alongside every run (`bf16_lane` detail block).
+
+_T0 = time.monotonic()
+# total wall-clock budget for the WHOLE script; optional lanes degrade to
+# "skipped" notes rather than risking the driver's external timeout (rc 124)
+BUDGET_S = float(_os.environ.get("VLSA_TPU_BENCH_BUDGET_S", "480"))
+
+# Defaults = the measured-best configuration (docs/PERF.md B-sweep): B=256
+# amortises the B-independent text-tower time, int8 feature storage halves
+# the HBM stream again — and the int8 lane carries task-level accuracy
+# evidence (INT8_ACCURACY.json, multi-seed, both loss families).  The bf16
+# near-reference-numerics lane is measured alongside every run when the
+# budget allows (`bf16_lane` detail block).
 B = int(_os.environ.get("VLSA_TPU_BENCH_B", 256))
 # Bag length is parameterizable for long-context datapoints (e.g. a 100k-patch
 # whole-slide bag: VLSA_TPU_BENCH_B=8 VLSA_TPU_BENCH_N=102400) — the streaming
 # co-attention kernels are O(N) in HBM and never materialize [B, N, P].
 N = int(_os.environ.get("VLSA_TPU_BENCH_N", 10240))
 D, K = 512, 12
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _note(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:5.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _emit(result: dict) -> None:
+    """Print the (possibly updated) result line; flushed so a later kill
+    cannot erase it.  Every emitted line is a complete, self-consistent
+    record with identical headline fields."""
+    print(json.dumps(result), flush=True)
 
 
 def main():
@@ -68,6 +106,7 @@ def main():
     # VLSA_TPU_BENCH_SMALL=1 swaps in the 2-layer test tower — CI smoke only
     # (tests/test_bench_smoke.py); the driver's headline runs keep small=0
     small = os.environ.get("VLSA_TPU_BENCH_SMALL", "0") == "1"
+    _note(f"build flagship (small={small}, dtype={dtype}, B={B}, N={N})")
     model, params = _build_flagship(small=small, tower_dtype=dtype)
     # production semantics: the text tower is frozen during VLSA training
     # (ref runner/vlsa_handler.py:126-149) — no grads, no moments for it
@@ -110,13 +149,11 @@ def main():
                                      x_scale=x_scale, x_inv=x_inv)
         return logits + chain * 1e-30
 
-    train_jit = jax.jit(train_step, donate_argnums=(0, 1))
-    infer_jit = jax.jit(infer_step)
-
     # scanned variants: N steps inside ONE compiled program.  This measures
     # true device throughput with a single dispatch — the per-call dispatch
     # latency of a remote/tunnelled runtime would otherwise dominate, and
     # production training loops run device-resident exactly like this.
+    # These are the ONLY two programs compiled before the headline prints.
     def train_scan(params, opt_state, feats, mask, t, e, key, n, x_scale=None,
                    x_inv=None):
         def body(carry, i):
@@ -178,19 +215,14 @@ def main():
     e = jnp.asarray(rng.integers(0, 2, size=B), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile.  NOTE: jax.block_until_ready can return before the
-    # remote device has finished under the tunnelled runtime, so every
-    # timing below forces a scalar host transfer instead.
-    params, opt_state, loss = train_jit(params, opt_state, feats, mask, t, e,
-                                        key, x_scale, x_inv)
-    _ = float(loss)
-    out = infer_jit(params, feats, mask, loss * 0.0, x_scale, x_inv)
-    _ = float(out.sum())
-
-    # warm the scanned programs, then time (one dispatch per measurement)
+    # warm / compile the two headline programs.  NOTE: jax.block_until_ready
+    # can return before the remote device has finished under the tunnelled
+    # runtime, so every timing below forces a scalar host transfer instead.
+    _note("compile+warm train scan")
     params, opt_state, loss = train_scan_jit(params, opt_state, feats, mask,
                                              t, e, key, x_scale=x_scale, x_inv=x_inv)
     _ = float(loss)
+    _note("compile+warm infer scan")
     _ = float(infer_scan_jit(params, feats, mask, x_scale=x_scale, x_inv=x_inv).sum())
 
     profile_dir = _os.environ.get("VLSA_TPU_BENCH_PROFILE")
@@ -215,286 +247,9 @@ def main():
         _ = float(out.sum())
         t_infer = min(t_infer, (time.perf_counter() - t0) / SCAN_N)
 
-    # production-eval variant: the runner's test_model precomputes the text
-    # branch once per eval pass (engine.text_precompute) — measure the
-    # resulting per-batch step as a detail (headline keeps the conservative
-    # per-step re-encode protocol, matching the reference's semantics)
-    def infer_pre_scan(params, feats, mask, tf, q, n):
-        def body(chain, _):
-            out, _i, _t = model.apply(
-                {"params": params}, feats, mask,
-                text_features=tf + chain * 1e-30,
-                query=None if q is None else q + chain * 1e-30,
-                x_scale=x_scale, x_inv=x_inv)
-            return out[0, 0], out
-        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
-        return outs[-1]
-
-    t_infer_pre = float("inf")
-    if _os.environ.get("VLSA_TPU_BENCH_PRE", "1") == "1":  # extra compile; 0 for sweeps
-        tf_pre, q_pre = jax.jit(
-            lambda p: model.apply({"params": p}, method=model.text_precompute))(params)
-        infer_pre_jit = jax.jit(functools.partial(infer_pre_scan, n=SCAN_N))
-        _ = float(infer_pre_jit(params, feats, mask, tf_pre, q_pre).sum())
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            out = infer_pre_jit(params, feats, mask, tf_pre, q_pre)
-            _ = float(out.sum())
-            t_infer_pre = min(t_infer_pre, (time.perf_counter() - t0) / SCAN_N)
     if profile_dir:
         jax.profiler.stop_trace()
-        print(f"[bench] profile trace written to {profile_dir}")
-
-    # --- the OTHER storage lane, measured alongside every run: the int8
-    # headline (default) pairs with the bf16 near-reference-numerics lane;
-    # a bf16 headline run pairs with the int8 lane.  Reuses the same jitted
-    # scans (programs land in the persistent compile cache) ---
-    other_detail = None
-    other_name = "bf16_lane" if feats_dtype == "int8" else "int8_opt_in"
-    if (jax.default_backend() == "tpu"
-            and feats_dtype in ("int8", "bfloat16")
-            and _os.environ.get(
-                "VLSA_TPU_BENCH_OTHER_LANE",
-                _os.environ.get("VLSA_TPU_BENCH_INT8", "1")) == "1"):
-        try:
-            f32 = np.random.default_rng(0).normal(size=(B, N, D)).astype(np.float32)
-            if feats_dtype == "int8":      # secondary lane = bf16
-                feats_o = jnp.asarray(f32).astype(jnp.bfloat16)
-                xs_o = xi_o = None
-                note = ("feats_dtype: bfloat16 (near-reference numerics; "
-                        "f32 storage reproduces the reference exactly)")
-            else:                          # secondary lane = int8
-                from vlsa_tpu.data.pipeline import feats_inv_norms, quantize_feats_int8
-                q8, s8 = quantize_feats_int8(f32)
-                feats_o = jnp.asarray(q8)
-                xs_o = jnp.asarray(s8)
-                xi_o = jnp.asarray(feats_inv_norms(q8))
-                del q8
-                note = ("feats_dtype: int8 (per-patch quantized storage, "
-                        "native int8 MXU kernels + host inv norms)")
-            del f32
-            params, opt_state, loss = train_scan_jit(
-                params, opt_state, feats_o, mask, t, e, key, x_scale=xs_o,
-                x_inv=xi_o)
-            _ = float(loss)
-            _ = float(infer_scan_jit(params, feats_o, mask, x_scale=xs_o,
-                                     x_inv=xi_o).sum())
-            t_tr8 = t_in8 = float("inf")
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                params, opt_state, loss = train_scan_jit(
-                    params, opt_state, feats_o, mask, t, e, key,
-                    x_scale=xs_o, x_inv=xi_o)
-                _ = float(loss)
-                t_tr8 = min(t_tr8, (time.perf_counter() - t0) / SCAN_N)
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                out = infer_scan_jit(params, feats_o, mask, x_scale=xs_o,
-                                     x_inv=xi_o)
-                _ = float(out.sum())
-                t_in8 = min(t_in8, (time.perf_counter() - t0) / SCAN_N)
-            other_detail = {
-                "train_step_ms": round(t_tr8 * 1e3, 2),
-                "infer_step_ms": round(t_in8 * 1e3, 2),
-                "slides_per_sec": round(B / (t_tr8 + t_in8), 2),
-                "note": note,
-            }
-            del feats_o
-        except Exception as exc:  # never let the secondary lane kill the headline
-            other_detail = {"error": f"{type(exc).__name__}: {exc}"}
-
-    # task-level int8 accuracy evidence (scripts/validate_int8.py):
-    # production-runner A/B of f32 vs q8npz stores on a synthetic cohort
-    # with real prognostic signal
-    int8_accuracy = None
-    apath = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                          "INT8_ACCURACY.json")
-    if _os.path.exists(apath):
-        with open(apath) as f:
-            _acc = json.load(f)
-        int8_accuracy = {k: _acc[k] for k in ("sa_abmil", "vlsa", "cohort")
-                         if k in _acc}
-
-    # --- patch->feature extraction throughput (tiles/sec through the full
-    # CONCH ViT-B/16 tower at 448x448, forward_no_head — BASELINE config 5's
-    # end-to-end preprocessing path).  Random weights: throughput is
-    # weight-independent ---
-    extract_detail = None
-    if (jax.default_backend() == "tpu"
-            and _os.environ.get("VLSA_TPU_BENCH_EXTRACT", "1") == "1"):
-        try:
-            from vlsa_tpu.models.vision_tower import ConchVisualModel
-            EB = int(_os.environ.get("VLSA_TPU_BENCH_EXTRACT_B", "64"))
-            EN = 10  # scan length per dispatch
-            vit = ConchVisualModel(image_size=448, compute_dtype="bfloat16")
-            imgs0 = jnp.asarray(
-                np.random.default_rng(0).normal(size=(EB, 3, 448, 448))
-                .astype(np.float32))
-            vparams = jax.jit(lambda k: vit.init(
-                k, imgs0[:1], method=ConchVisualModel.forward_no_head
-            )["params"])(jax.random.PRNGKey(0))
-            # production extractor path: frozen weights pre-cast to bf16
-            from vlsa_tpu.models.precision import cast_vision_tower_weights
-            vparams = cast_vision_tower_weights(vparams)
-
-            def extract_scan(p, imgs):
-                def body(chain, _):
-                    out = vit.apply({"params": p}, imgs + chain * 1e-30,
-                                    method=ConchVisualModel.forward_no_head)
-                    return out[0, 0], out
-                _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(EN))
-                return outs[-1]
-
-            extract_jit = jax.jit(extract_scan)
-            _ = float(extract_jit(vparams, imgs0).sum())   # warm
-            t_ex = float("inf")
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                _ = float(extract_jit(vparams, imgs0).sum())
-                t_ex = min(t_ex, (time.perf_counter() - t0) / EN)
-
-            # the production lane: raw 512x512 u8 tiles -> on-device
-            # preprocessing (PIL-exact tap resize) fused with the tower
-            # forward in one program (device_preprocess, the extractor
-            # default on TPU — host preprocessing runs ~0.7 tiles/s on a
-            # weak host, EXTRACT_CHIP.json)
-            from vlsa_tpu.data.transforms_device import build_device_preprocess
-            pre_dev = build_device_preprocess((512, 512), 448)
-            tiles_u8 = jnp.asarray(np.random.default_rng(1).integers(
-                0, 256, (EB, 512, 512, 3), dtype=np.uint8))
-
-            def extract_u8_scan(p, xs):
-                def body(chain, _):
-                    out = vit.apply({"params": p},
-                                    pre_dev(jnp.bitwise_xor(xs, chain)),
-                                    method=ConchVisualModel.forward_no_head)
-                    return out[0, 0].astype(jnp.uint8), out
-                _, outs = jax.lax.scan(body, jnp.uint8(0), jnp.arange(EN))
-                return outs[-1]
-
-            extract_u8_jit = jax.jit(extract_u8_scan)
-            _ = float(extract_u8_jit(vparams, tiles_u8).sum())   # warm
-            t_u8 = float("inf")
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                _ = float(extract_u8_jit(vparams, tiles_u8).sum())
-                t_u8 = min(t_u8, (time.perf_counter() - t0) / EN)
-
-            extract_detail = {
-                "tiles_per_sec": round(EB / t_u8, 1),
-                "batch_tiles": EB,
-                "step_ms": round(t_u8 * 1e3, 2),
-                "tower_only_tiles_per_sec": round(EB / t_ex, 1),
-                "note": "raw 512x512 u8 tiles -> on-device PIL-exact "
-                        "preprocessing fused with the CONCH ViT-B/16 "
-                        "448x448 forward_no_head, bf16 compute (the "
-                        "extractor's TPU default); tower_only excludes "
-                        "preprocessing",
-            }
-
-            # opt-in w8a8 int8 trunk lane (docs/PERF.md round-3 item 6):
-            # fused u8 pipeline with the quantized linears — the number the
-            # --trunk_quant flag buys.  Accuracy evidence: random-weight
-            # cosine > 0.995 (tests/test_int8_trunk.py); real-weight
-            # validation pending artifacts, hence reported as opt-in.
-            if _os.environ.get("VLSA_TPU_BENCH_EXTRACT_Q8", "1") == "1":
-                from vlsa_tpu.models.precision import (
-                    quantize_vision_tower_weights)
-                qparams = quantize_vision_tower_weights(
-                    jax.tree.map(lambda t: t.astype(jnp.float32)
-                                 if t.dtype == jnp.bfloat16 else t, vparams))
-                qparams = cast_vision_tower_weights(qparams)
-                vit_q8 = ConchVisualModel(image_size=448,
-                                          compute_dtype="bfloat16",
-                                          trunk_quantized=True)
-
-                def extract_q8_scan(p, xs):
-                    def body(chain, _):
-                        out = vit_q8.apply(
-                            {"params": p}, pre_dev(jnp.bitwise_xor(xs, chain)),
-                            method=ConchVisualModel.forward_no_head)
-                        return out[0, 0].astype(jnp.uint8), out
-                    _, outs = jax.lax.scan(body, jnp.uint8(0), jnp.arange(EN))
-                    return outs[-1]
-
-                extract_q8_jit = jax.jit(extract_q8_scan)
-                _ = float(extract_q8_jit(qparams, tiles_u8).sum())   # warm
-                t_q8 = float("inf")
-                for _rep in range(2):
-                    t0 = time.perf_counter()
-                    _ = float(extract_q8_jit(qparams, tiles_u8).sum())
-                    t_q8 = min(t_q8, (time.perf_counter() - t0) / EN)
-                extract_detail["int8_trunk_opt_in"] = {
-                    "tiles_per_sec": round(EB / t_q8, 1),
-                    "speedup_vs_bf16": round(t_u8 / t_q8, 3),
-                }
-            del vparams, imgs0, tiles_u8
-        except Exception as exc:
-            extract_detail = {"error": f"{type(exc).__name__}: {exc}"}
-
-    # --- batched Shapley interpretation throughput (BASELINE config 4:
-    # "Batched Shapley-values interpretation over TCGA-BLCA test split").
-    # Per patient: VLFAN forward with attention, the decoupled prior-by-bin
-    # similarity (ref utils/model_inference.py:81-144) and the exact 2^12-
-    # coalition Shapley attribution (ref 23-79) — all vmapped on device.
-    # The reference loops patients AND coalitions in Python on CPU. ---
-    interp_detail = None
-    if _os.environ.get("VLSA_TPU_BENCH_INTERP", "1") == "1":
-        try:
-            from vlsa_tpu.interpret.shapley import batched_shapley
-            from vlsa_tpu.ops.masked import l2_normalize
-            IB = int(_os.environ.get("VLSA_TPU_BENCH_INTERP_B", "64"))
-            IN_SCAN = 10
-            logit_scale_v = jnp.exp(params["logit_scale"])
-            ifeats = jnp.asarray(
-                np.random.default_rng(1).normal(size=(IB, N, D))
-                .astype(np.float32)).astype(jnp.bfloat16)
-            imask = jnp.ones((IB, N), bool)
-
-            def interp_batch(p, feats_b, mask_b):
-                variables = {"params": p}
-                text = model.apply(variables, method=model.forward_text_only)
-                norm_text = l2_normalize(text, axis=-1)            # [K, E]
-
-                def _run(m):
-                    img, attn = m.encode_instances(feats_b, mask_b,
-                                                   ret_with_attn=True)
-                    A = attn[0] if isinstance(attn, tuple) else attn
-                    enc = m.mil_encoder.visual_adapter(feats_b)
-                    L_img = jnp.linalg.norm(img, axis=-1)
-                    dec = jnp.einsum("bpn,bnk->bpk", A,
-                                     (enc / L_img[:, None, None])
-                                     @ norm_text.T)
-                    return dec
-                dec = model.apply(variables, method=_run)
-                return batched_shapley(dec, logit_scale_v)
-
-            def interp_scan(p, feats_b, mask_b):
-                def body(chain, _):
-                    shap = interp_batch(p, feats_b + chain * 1e-30, mask_b)
-                    return shap[0, 0].astype(jnp.bfloat16), shap
-                _, outs = jax.lax.scan(body, jnp.bfloat16(0.0),
-                                       jnp.arange(IN_SCAN))
-                return outs[-1]
-
-            interp_jit = jax.jit(interp_scan)
-            _ = float(interp_jit(params, ifeats, imask).sum())   # warm
-            t_interp = float("inf")
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                _ = float(interp_jit(params, ifeats, imask).sum())
-                t_interp = min(t_interp, (time.perf_counter() - t0) / IN_SCAN)
-            interp_detail = {
-                "patients_per_sec": round(IB / t_interp, 1),
-                "batch_patients": IB,
-                "coalitions_per_patient": 4096,
-                "note": ("decoupled similarity + exact 2^12-coalition "
-                         "Shapley, vmapped (ref model_inference.py:23-144 "
-                         "loops both in Python)"),
-            }
-            del ifeats
-        except Exception as exc:
-            interp_detail = {"error": f"{type(exc).__name__}: {exc}"}
+        _note(f"profile trace written to {profile_dir}")
 
     # --- analytic roofline accounting (VERDICT r1 weak#2: report achieved
     # GB/s + FLOP/s so perf regressions are visible) ---
@@ -537,25 +292,33 @@ def main():
     # Headline ratio (VERDICT r2 weak#2): lead with the MEASURED same-host
     # CPU-vs-CPU ratio (scripts/measure_reference.py runs the actual
     # reference loop and ours on the same silicon); the analytic reference-
-    # on-3090 estimate stays as secondary context.
+    # on-3090 estimate stays as secondary context.  The baseline was
+    # measured at the default config (B=256, N=10240, full tower); a sweep
+    # run at any other config gets vs_baseline=null (ADVICE r3 #1).
+    is_baseline_cfg = (N == 10240 and B == 256 and not small)
     vs_analytic = round(slides_per_sec / REFERENCE_SLIDES_PER_SEC, 2)
     vs_measured = (measured or {}).get("measured_cpu_ratio")
-    result = {
-        "metric": f"slides/sec at {N // 1024}k-patch bags (train+infer step)",
-        "value": round(slides_per_sec, 2),
-        "unit": "slides/sec",
-        "vs_baseline": vs_measured if vs_measured is not None else vs_analytic,
-        "vs_baseline_basis": (
+    if is_baseline_cfg:
+        vs_baseline = vs_measured if vs_measured is not None else vs_analytic
+        vs_basis = (
             "measured same-host CPU-vs-CPU ratio (identical train-step "
             "semantics, scripts/measure_reference.py)" if vs_measured is not None
-            else "analytic reference-on-3090 estimate"),
-        "vs_baseline_analytic_3090": vs_analytic,
+            else "analytic reference-on-3090 estimate")
+    else:
+        vs_baseline = None
+        vs_basis = (f"config (B={B}, N={N}, small={small}) differs from the "
+                    "baseline-measured one (B=256, N=10240, full tower) — "
+                    "no comparable baseline ratio")
+    result = {
+        "metric": f"slides/sec at {N / 1024:g}k-patch bags (train+infer step)",
+        "value": round(slides_per_sec, 2),
+        "unit": "slides/sec",
+        "vs_baseline": vs_baseline,
+        "vs_baseline_basis": vs_basis,
+        "vs_baseline_analytic_3090": vs_analytic if is_baseline_cfg else None,
         "detail": {
             "train_step_ms": round(t_train * 1e3, 2),
             "infer_step_ms": round(t_infer * 1e3, 2),
-            "infer_step_precomputed_text_ms": (
-                None if t_infer_pre == float("inf")
-                else round(t_infer_pre * 1e3, 2)),
             "batch_bags": B,
             "patches_per_bag": N,
             "backend": jax.default_backend(),
@@ -566,16 +329,6 @@ def main():
             "roofline": perf,
         },
     }
-    if other_detail is not None:
-        result["detail"][other_name] = other_detail
-    if int8_accuracy is not None and feats_dtype == "int8":
-        result["detail"]["int8_task_accuracy"] = int8_accuracy
-    elif int8_accuracy is not None and other_detail is not None:
-        result["detail"][other_name]["task_accuracy"] = int8_accuracy
-    if extract_detail is not None:
-        result["detail"]["feature_extraction"] = extract_detail
-    if interp_detail is not None:
-        result["detail"]["interpretation"] = interp_detail
     if measured is not None:
         result["detail"]["measured_reference_cpu"] = {
             "reference_slides_per_sec_cpu": measured["reference_slides_per_sec_cpu"],
@@ -583,7 +336,334 @@ def main():
             "measured_cpu_ratio": measured["measured_cpu_ratio"],
             "host": measured.get("host"),
         }
-    print(json.dumps(result))
+
+    # ======= THE HEADLINE IS SAFE FROM HERE ON =======
+    _note(f"headline: {slides_per_sec:.1f} slides/s "
+          f"(train {t_train * 1e3:.2f} ms, infer {t_infer * 1e3:.2f} ms)")
+    _emit(result)
+
+    # task-level int8 accuracy evidence (scripts/validate_int8.py):
+    # production-runner A/B of f32 vs q8npz stores on synthetic cohorts
+    # with real prognostic signal (multi-seed, both loss families)
+    int8_accuracy = None
+    apath = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          "INT8_ACCURACY.json")
+    if _os.path.exists(apath):
+        with open(apath) as f:
+            _acc = json.load(f)
+        int8_accuracy = {k: _acc[k] for k in
+                         ("sa_abmil", "vlsa", "cohort", "runs", "summary")
+                         if k in _acc}
+    if int8_accuracy is not None and feats_dtype == "int8":
+        result["detail"]["int8_task_accuracy"] = int8_accuracy
+
+    # --- optional lanes, in decreasing evidence value; each one is budget-
+    # gated (estimated cost = compiles + timed runs) and exception-isolated,
+    # and the full JSON is re-emitted after each completes ---
+
+    def lane(name: str, est_s: float, enabled: bool, fn) -> None:
+        if not enabled:
+            return
+        if _remaining() < est_s:
+            result["detail"][name] = {
+                "skipped": f"budget ({_remaining():.0f}s left < {est_s:.0f}s est)"}
+            _note(f"lane {name}: skipped (budget)")
+            _emit(result)
+            return
+        _note(f"lane {name}: start ({_remaining():.0f}s left)")
+        try:
+            detail = fn()
+        except Exception as exc:  # never let a lane kill the record
+            detail = {"error": f"{type(exc).__name__}: {exc}"}
+        if detail is not None:
+            result["detail"][name] = detail
+            _emit(result)
+
+    # --- the OTHER storage lane: the int8 headline (default) pairs with the
+    # bf16 near-reference-numerics lane; a bf16 headline run pairs with the
+    # int8 lane.  Reuses the same jitted scans (new dtype => recompile;
+    # programs land in the persistent compile cache) ---
+    other_name = "bf16_lane" if feats_dtype == "int8" else "int8_opt_in"
+
+    def run_other_lane():
+        nonlocal params, opt_state
+        f32 = np.random.default_rng(0).normal(size=(B, N, D)).astype(np.float32)
+        if feats_dtype == "int8":      # secondary lane = bf16
+            feats_o = jnp.asarray(f32).astype(jnp.bfloat16)
+            xs_o = xi_o = None
+            note = ("feats_dtype: bfloat16 (near-reference numerics; "
+                    "f32 storage reproduces the reference exactly)")
+        else:                          # secondary lane = int8
+            from vlsa_tpu.data.pipeline import feats_inv_norms, quantize_feats_int8
+            q8, s8 = quantize_feats_int8(f32)
+            feats_o = jnp.asarray(q8)
+            xs_o = jnp.asarray(s8)
+            xi_o = jnp.asarray(feats_inv_norms(q8))
+            del q8
+            note = ("feats_dtype: int8 (per-patch quantized storage, "
+                    "native int8 MXU kernels + host inv norms)")
+        del f32
+        params2, opt_state2, loss = train_scan_jit(
+            params, opt_state, feats_o, mask, t, e, key, x_scale=xs_o,
+            x_inv=xi_o)
+        params, opt_state = params2, opt_state2
+        _ = float(loss)
+        _ = float(infer_scan_jit(params, feats_o, mask, x_scale=xs_o,
+                                 x_inv=xi_o).sum())
+        t_tr8 = t_in8 = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            params2, opt_state2, loss = train_scan_jit(
+                params, opt_state, feats_o, mask, t, e, key,
+                x_scale=xs_o, x_inv=xi_o)
+            params, opt_state = params2, opt_state2
+            _ = float(loss)
+            t_tr8 = min(t_tr8, (time.perf_counter() - t0) / SCAN_N)
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            out = infer_scan_jit(params, feats_o, mask, x_scale=xs_o,
+                                 x_inv=xi_o)
+            _ = float(out.sum())
+            t_in8 = min(t_in8, (time.perf_counter() - t0) / SCAN_N)
+        detail = {
+            "train_step_ms": round(t_tr8 * 1e3, 2),
+            "infer_step_ms": round(t_in8 * 1e3, 2),
+            "slides_per_sec": round(B / (t_tr8 + t_in8), 2),
+            "note": note,
+        }
+        if int8_accuracy is not None and feats_dtype != "int8":
+            detail["task_accuracy"] = int8_accuracy
+        return detail
+
+    lane(other_name, est_s=120.0,
+         enabled=(jax.default_backend() == "tpu"
+                  and feats_dtype in ("int8", "bfloat16")
+                  and _os.environ.get(
+                      "VLSA_TPU_BENCH_OTHER_LANE",
+                      _os.environ.get("VLSA_TPU_BENCH_INT8", "1")) == "1"),
+         fn=run_other_lane)
+
+    # production-eval variant: the runner's test_model precomputes the text
+    # branch once per eval pass (engine.text_precompute) — measure the
+    # resulting per-batch step as a detail (headline keeps the conservative
+    # per-step re-encode protocol, matching the reference's semantics)
+    def run_infer_pre():
+        def infer_pre_scan(params, feats, mask, tf, q, n):
+            def body(chain, _):
+                out, _i, _t = model.apply(
+                    {"params": params}, feats, mask,
+                    text_features=tf + chain * 1e-30,
+                    query=None if q is None else q + chain * 1e-30,
+                    x_scale=x_scale, x_inv=x_inv)
+                return out[0, 0], out
+            _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return outs[-1]
+
+        tf_pre, q_pre = jax.jit(
+            lambda p: model.apply({"params": p}, method=model.text_precompute))(params)
+        infer_pre_jit = jax.jit(functools.partial(infer_pre_scan, n=SCAN_N))
+        _ = float(infer_pre_jit(params, feats, mask, tf_pre, q_pre).sum())
+        t_pre = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            out = infer_pre_jit(params, feats, mask, tf_pre, q_pre)
+            _ = float(out.sum())
+            t_pre = min(t_pre, (time.perf_counter() - t0) / SCAN_N)
+        result["detail"]["infer_step_precomputed_text_ms"] = round(t_pre * 1e3, 2)
+        return None  # wrote directly into detail
+
+    lane("infer_precomputed_text", est_s=75.0,
+         enabled=_os.environ.get("VLSA_TPU_BENCH_PRE", "1") == "1",
+         fn=run_infer_pre)
+    if "infer_step_precomputed_text_ms" in result["detail"]:
+        _emit(result)
+
+    # --- patch->feature extraction throughput (tiles/sec through the full
+    # CONCH ViT-B/16 tower at 448x448, forward_no_head — BASELINE config 5's
+    # end-to-end preprocessing path).  Random weights: throughput is
+    # weight-independent ---
+    def run_extract():
+        from vlsa_tpu.models.vision_tower import ConchVisualModel
+        EB = int(_os.environ.get("VLSA_TPU_BENCH_EXTRACT_B", "64"))
+        EN = 10  # scan length per dispatch
+        vit = ConchVisualModel(image_size=448, compute_dtype="bfloat16")
+        imgs0 = jnp.asarray(
+            np.random.default_rng(0).normal(size=(EB, 3, 448, 448))
+            .astype(np.float32))
+        vparams = jax.jit(lambda k: vit.init(
+            k, imgs0[:1], method=ConchVisualModel.forward_no_head
+        )["params"])(jax.random.PRNGKey(0))
+        # production extractor path: frozen weights pre-cast to bf16
+        from vlsa_tpu.models.precision import cast_vision_tower_weights
+        vparams = cast_vision_tower_weights(vparams)
+
+        # the production lane: raw 512x512 u8 tiles -> on-device
+        # preprocessing (PIL-exact tap resize) fused with the tower
+        # forward in one program (device_preprocess, the extractor
+        # default on TPU — host preprocessing runs ~0.7 tiles/s on a
+        # weak host, EXTRACT_CHIP.json)
+        from vlsa_tpu.data.transforms_device import build_device_preprocess
+        pre_dev = build_device_preprocess((512, 512), 448)
+        tiles_u8 = jnp.asarray(np.random.default_rng(1).integers(
+            0, 256, (EB, 512, 512, 3), dtype=np.uint8))
+
+        def extract_u8_scan(p, xs):
+            def body(chain, _):
+                out = vit.apply({"params": p},
+                                pre_dev(jnp.bitwise_xor(xs, chain)),
+                                method=ConchVisualModel.forward_no_head)
+                return out[0, 0].astype(jnp.uint8), out
+            _, outs = jax.lax.scan(body, jnp.uint8(0), jnp.arange(EN))
+            return outs[-1]
+
+        extract_u8_jit = jax.jit(extract_u8_scan)
+        _ = float(extract_u8_jit(vparams, tiles_u8).sum())   # warm
+        t_u8 = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(extract_u8_jit(vparams, tiles_u8).sum())
+            t_u8 = min(t_u8, (time.perf_counter() - t0) / EN)
+
+        detail = {
+            "tiles_per_sec": round(EB / t_u8, 1),
+            "batch_tiles": EB,
+            "step_ms": round(t_u8 * 1e3, 2),
+            "note": "raw 512x512 u8 tiles -> on-device PIL-exact "
+                    "preprocessing fused with the CONCH ViT-B/16 "
+                    "448x448 forward_no_head, bf16 compute (the "
+                    "extractor's TPU default); tower_only excludes "
+                    "preprocessing",
+        }
+
+        # tower-only variant (excludes preprocessing) — own budget gate
+        if _remaining() > 60.0:
+            def extract_scan(p, imgs):
+                def body(chain, _):
+                    out = vit.apply({"params": p}, imgs + chain * 1e-30,
+                                    method=ConchVisualModel.forward_no_head)
+                    return out[0, 0], out
+                _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(EN))
+                return outs[-1]
+
+            extract_jit = jax.jit(extract_scan)
+            _ = float(extract_jit(vparams, imgs0).sum())   # warm
+            t_ex = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                _ = float(extract_jit(vparams, imgs0).sum())
+                t_ex = min(t_ex, (time.perf_counter() - t0) / EN)
+            detail["tower_only_tiles_per_sec"] = round(EB / t_ex, 1)
+
+        # opt-in w8a8 int8 trunk lane (docs/PERF.md round-3 item 6):
+        # fused u8 pipeline with the quantized linears — the number the
+        # --trunk_quant flag buys.  Accuracy evidence: random-weight
+        # cosine > 0.995 (tests/test_int8_trunk.py); real-weight
+        # validation pending artifacts, hence reported as opt-in.
+        if (_os.environ.get("VLSA_TPU_BENCH_EXTRACT_Q8", "1") == "1"
+                and _remaining() > 60.0):
+            from vlsa_tpu.models.precision import (
+                quantize_vision_tower_weights)
+            qparams = quantize_vision_tower_weights(
+                jax.tree.map(lambda t: t.astype(jnp.float32)
+                             if t.dtype == jnp.bfloat16 else t, vparams))
+            qparams = cast_vision_tower_weights(qparams)
+            vit_q8 = ConchVisualModel(image_size=448,
+                                      compute_dtype="bfloat16",
+                                      trunk_quantized=True)
+
+            def extract_q8_scan(p, xs):
+                def body(chain, _):
+                    out = vit_q8.apply(
+                        {"params": p}, pre_dev(jnp.bitwise_xor(xs, chain)),
+                        method=ConchVisualModel.forward_no_head)
+                    return out[0, 0].astype(jnp.uint8), out
+                _, outs = jax.lax.scan(body, jnp.uint8(0), jnp.arange(EN))
+                return outs[-1]
+
+            extract_q8_jit = jax.jit(extract_q8_scan)
+            _ = float(extract_q8_jit(qparams, tiles_u8).sum())   # warm
+            t_q8 = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                _ = float(extract_q8_jit(qparams, tiles_u8).sum())
+                t_q8 = min(t_q8, (time.perf_counter() - t0) / EN)
+            detail["int8_trunk_opt_in"] = {
+                "tiles_per_sec": round(EB / t_q8, 1),
+                "speedup_vs_bf16": round(t_u8 / t_q8, 3),
+            }
+        return detail
+
+    lane("feature_extraction", est_s=90.0,
+         enabled=(jax.default_backend() == "tpu"
+                  and _os.environ.get("VLSA_TPU_BENCH_EXTRACT", "1") == "1"),
+         fn=run_extract)
+
+    # --- batched Shapley interpretation throughput (BASELINE config 4:
+    # "Batched Shapley-values interpretation over TCGA-BLCA test split").
+    # Per patient: VLFAN forward with attention, the decoupled prior-by-bin
+    # similarity (ref utils/model_inference.py:81-144) and the exact 2^12-
+    # coalition Shapley attribution (ref 23-79) — all vmapped on device.
+    # The reference loops patients AND coalitions in Python on CPU. ---
+    def run_interp():
+        from vlsa_tpu.interpret.shapley import batched_shapley
+        from vlsa_tpu.ops.masked import l2_normalize
+        IB = int(_os.environ.get("VLSA_TPU_BENCH_INTERP_B", "64"))
+        IN_SCAN = 10
+        logit_scale_v = jnp.exp(params["logit_scale"])
+        ifeats = jnp.asarray(
+            np.random.default_rng(1).normal(size=(IB, N, D))
+            .astype(np.float32)).astype(jnp.bfloat16)
+        imask = jnp.ones((IB, N), bool)
+
+        def interp_batch(p, feats_b, mask_b):
+            variables = {"params": p}
+            text = model.apply(variables, method=model.forward_text_only)
+            norm_text = l2_normalize(text, axis=-1)            # [K, E]
+
+            def _run(m):
+                img, attn = m.encode_instances(feats_b, mask_b,
+                                               ret_with_attn=True)
+                A = attn[0] if isinstance(attn, tuple) else attn
+                enc = m.mil_encoder.visual_adapter(feats_b)
+                L_img = jnp.linalg.norm(img, axis=-1)
+                dec = jnp.einsum("bpn,bnk->bpk", A,
+                                 (enc / L_img[:, None, None])
+                                 @ norm_text.T)
+                return dec
+            dec = model.apply(variables, method=_run)
+            return batched_shapley(dec, logit_scale_v)
+
+        def interp_scan(p, feats_b, mask_b):
+            def body(chain, _):
+                shap = interp_batch(p, feats_b + chain * 1e-30, mask_b)
+                return shap[0, 0].astype(jnp.bfloat16), shap
+            _, outs = jax.lax.scan(body, jnp.bfloat16(0.0),
+                                   jnp.arange(IN_SCAN))
+            return outs[-1]
+
+        interp_jit = jax.jit(interp_scan)
+        _ = float(interp_jit(params, ifeats, imask).sum())   # warm
+        t_interp = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(interp_jit(params, ifeats, imask).sum())
+            t_interp = min(t_interp, (time.perf_counter() - t0) / IN_SCAN)
+        return {
+            "patients_per_sec": round(IB / t_interp, 1),
+            "batch_patients": IB,
+            "coalitions_per_patient": 4096,
+            "note": ("decoupled similarity + exact 2^12-coalition "
+                     "Shapley, vmapped (ref model_inference.py:23-144 "
+                     "loops both in Python)"),
+        }
+
+    lane("interpretation", est_s=75.0,
+         enabled=_os.environ.get("VLSA_TPU_BENCH_INTERP", "1") == "1",
+         fn=run_interp)
+
+    # final (possibly identical) emit: the last line is the complete record
+    _note(f"done ({_remaining():.0f}s budget left)")
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -1,33 +1,41 @@
 """Smoke-test the driver's benchmark entry point (bench.py).
 
 The driver runs `python bench.py` on the real chip at the end of every
-round and records the single JSON line it prints; a silent breakage there
-loses the round's headline number.  This runs the same script end-to-end
-on CPU with tiny shapes (small test tower, short scans) and asserts the
-output contract: one parseable JSON line with the metric/value/vs_baseline
-fields and the roofline + lane details the judge reads.
+round and records the JSON it prints; a silent breakage there loses the
+round's headline number (BENCH_r03 rc=124 lost round 3's).  This runs the
+same script end-to-end on CPU with tiny shapes (small test tower, short
+scans) and asserts the output contract:
+
+  * the FIRST JSON line (the deadline-safe headline, printed+flushed before
+    any optional lane) parses and carries metric/value/unit/vs_baseline;
+  * the LAST JSON line (the complete record) parses, agrees with the first
+    on the headline fields, and includes the roofline + lane details;
+  * a run at a non-baseline config reports vs_baseline=null (ADVICE r3 #1).
+
+NOT marked slow: this is the quick-tier guard against losing the
+end-of-round chip run (ADVICE r3 #4).
 """
 import json
 import os
 import subprocess
 import sys
 
-import pytest
-
-pytestmark = pytest.mark.slow
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_smoke_cpu():
-    env = dict(
-        os.environ,
+    # ambient VLSA_TPU_BENCH_* vars (e.g. a dev machine's FEATS_DTYPE pin)
+    # must not leak into the assertions — strip them all first (ADVICE r3 #3)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("VLSA_TPU_BENCH_")}
+    env.update(
         JAX_PLATFORMS="cpu",
         VLSA_TPU_BENCH_SMALL="1",
         VLSA_TPU_BENCH_B="2",
         VLSA_TPU_BENCH_N="512",
         VLSA_TPU_BENCH_SCAN_N="2",
         VLSA_TPU_BENCH_INTERP_B="2",
+        VLSA_TPU_BENCH_BUDGET_S="900",
         # TPU-gated lanes (extract / other-storage) skip themselves on CPU
     )
     out = subprocess.run(
@@ -36,11 +44,22 @@ def test_bench_smoke_cpu():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, f"no JSON line in bench output:\n{out.stdout[-2000:]}"
-    rec = json.loads(lines[-1])
+    first, rec = json.loads(lines[0]), json.loads(lines[-1])
 
-    assert rec["unit"] == "slides/sec"
-    assert rec["value"] > 0
-    assert "vs_baseline" in rec and rec["vs_baseline"] > 0
+    # every emitted line carries the same headline fields — whichever line
+    # the driver picks, the number is the same
+    for r in (first, rec):
+        assert r["unit"] == "slides/sec"
+        assert r["value"] > 0
+        assert "vs_baseline" in r
+    assert first["value"] == rec["value"]
+    assert first["metric"] == rec["metric"]
+    assert rec["metric"] == "slides/sec at 0.5k-patch bags (train+infer step)"
+
+    # non-baseline config (small tower, B=2, N=512) => no baseline ratio
+    assert rec["vs_baseline"] is None
+    assert "differs" in rec["vs_baseline_basis"]
+
     d = rec["detail"]
     assert d["batch_bags"] == 2
     assert d["patches_per_bag"] == 512
@@ -48,7 +67,39 @@ def test_bench_smoke_cpu():
     assert "roofline" in d and d["roofline"]["train_achieved_tflops"] >= 0
     # int8 is the default storage lane even on CPU (XLA fallback kernels)
     assert d["feats_dtype"] == "int8"
+    # the precomputed-text eval lane ran (CPU-enabled)
+    assert d["infer_step_precomputed_text_ms"] > 0
     # the interpretation lane ran and did not error
     assert "interpretation" in d, d.keys()
     assert "error" not in d["interpretation"], d["interpretation"]
     assert d["interpretation"]["patients_per_sec"] > 0
+
+
+def test_bench_budget_degrades_not_dies():
+    """With a budget that expires right after the headline, bench.py must
+    still exit 0 and print the headline line; optional lanes report
+    'skipped' instead of timing out (VERDICT r3 next#1)."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("VLSA_TPU_BENCH_")}
+    env.update(
+        JAX_PLATFORMS="cpu",
+        VLSA_TPU_BENCH_SMALL="1",
+        VLSA_TPU_BENCH_B="2",
+        VLSA_TPU_BENCH_N="512",
+        VLSA_TPU_BENCH_SCAN_N="2",
+        VLSA_TPU_BENCH_INTERP_B="2",
+        VLSA_TPU_BENCH_BUDGET_S="0",   # expired before any optional lane
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines
+    rec = json.loads(lines[-1])
+    assert rec["value"] > 0
+    # the CPU-enabled optional lanes were skipped, not run and not errored
+    assert "infer_step_precomputed_text_ms" not in rec["detail"]
+    assert "skipped" in rec["detail"].get("infer_precomputed_text", {})
+    interp = rec["detail"].get("interpretation")
+    assert interp is not None and "skipped" in interp, interp

@@ -51,10 +51,14 @@ def test_adam_matches_torch_coupled_l2():
 
 
 def test_decay_mask_split():
+    # timm's add_weight_decay (ref optim_factory.py:25-37): no-decay iff
+    # len(shape) == 1 or name endswith ".bias" — SCALARS (logit_scale)
+    # land in the decay group, exactly like the reference
     params = {"w": jnp.zeros((3, 3)), "bias": jnp.zeros((3,)), "s": jnp.zeros(())}
     m = decay_mask(params)
     assert m["w"] is True or m["w"] == True  # noqa: E712
-    assert not m["bias"] and not m["s"]
+    assert not m["bias"]
+    assert m["s"]
 
 
 def test_frozen_subtree_gets_zero_updates():

@@ -172,7 +172,7 @@ def test_conch_visual_and_generate_smoke():
                   jnp.zeros((1, 4, 32)))["params"]
 
     caps = coca_generate(tower, tp, dec, dp, cap_tokens, seq_len=9,
-                         min_seq_len=2, top_k=1)
+                         min_seq_len=2, generation_type="top_k", top_k=1)
     assert caps.shape == (2, 9)
     assert (caps[:, 0] == 1).all()
     # every row ends with eos (forced at seq_len at the latest)

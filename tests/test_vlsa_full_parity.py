@@ -23,7 +23,19 @@ WIDTH, HEADS, LAYERS, CTX, VOCAB, OUT = 64, 4, 2, 128, 32007, 32
 NUM_RANKS, NUM_QUERY, DIM_IN = 6, 12, 32
 
 
-def test_full_vlsa_incidence_parity():
+LEARNABLE_KEYS = ("logit_scale",
+                  "prompt_learner.context_embeds",
+                  "prompt_learner.rank_embeds",
+                  "mil_encoder.visual_adapter.weight",
+                  "mil_encoder.visual_adapter.bias",
+                  "mil_encoder.Q.residual_features")
+
+
+def build_vlsa_pair(drop_rate: float = 0.25):
+    """(ref torch VLSA, our flax VLSA, imported params) sharing one set of
+    random CONCH-size text-tower weights and identical learnable params —
+    the harness behind the incidence-parity AND the K-step trajectory
+    tests."""
     add_reference_to_path()
     _install_stubs()
     import torch
@@ -45,7 +57,7 @@ def test_full_vlsa_incidence_parity():
 
     image_encoder_cfg = {
         "name": "VLFAN", "dim_in": DIM_IN, "dim_hid": 16,
-        "use_feat_proj": False, "drop_rate": 0.25, "pred_head": "default",
+        "use_feat_proj": False, "drop_rate": drop_rate, "pred_head": "default",
         "query": "Text", "num_query": NUM_QUERY, "query_pooling": "mean",
         "gated_query": False,
         "query_text_method": "TaskRes", "query_text_res_ratio": 0.5,
@@ -103,22 +115,24 @@ def test_full_vlsa_incidence_parity():
                          "output_dim": OUT},
     )
 
+    # import every learnable tensor from the reference instance
+    state = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()
+             if k in LEARNABLE_KEYS}
+    assert len(state) == 6
+    params = import_vlsa_learnable_state(params, state)
+    return ref_model, model, params
+
+
+def test_full_vlsa_incidence_parity():
+    import torch
+
+    ref_model, model, params = build_vlsa_pair()
+
     # frozen prototype features must already agree (same tower weights)
     ref_pf = ref_model.mil_encoder.Q.prompt_features.detach().numpy()
     our_pf = np.asarray(model.query_adapter.prompt_features)
     np.testing.assert_allclose(our_pf, ref_pf, rtol=5e-3, atol=5e-4,
                                err_msg="frozen query prototype features differ")
-
-    # import every learnable tensor from the reference instance
-    state = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()
-             if k in ("logit_scale",
-                      "prompt_learner.context_embeds",
-                      "prompt_learner.rank_embeds",
-                      "mil_encoder.visual_adapter.weight",
-                      "mil_encoder.visual_adapter.bias",
-                      "mil_encoder.Q.residual_features")}
-    assert len(state) == 6
-    params = import_vlsa_learnable_state(params, state)
 
     # ---- forward the same bag ----
     rng = np.random.default_rng(5)

