@@ -352,7 +352,8 @@ def main():
         with open(apath) as f:
             _acc = json.load(f)
         int8_accuracy = {k: _acc[k] for k in
-                         ("sa_abmil", "vlsa", "cohort", "runs", "summary")
+                         ("sa_abmil", "vlsa", "cohort", "spread", "cells",
+                          "runs", "summary")
                          if k in _acc}
     if int8_accuracy is not None and feats_dtype == "int8":
         result["detail"]["int8_task_accuracy"] = int8_accuracy

@@ -207,14 +207,14 @@ def main():
     ap.add_argument("--bp_every_batch", type=int, default=32)
     ap.add_argument("--ref_bags", type=int, default=None,
                     help="bags to time for the reference loop")
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="independent timing repeats; the report carries "
-                         "mean +/- spread so the ratio is robust to host noise")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="independent timing repeats; the report leads with "
+                         "median +/- MAD so the ratio is robust to host noise")
     ap.add_argument("--out", default="BASELINE_MEASURED.json")
     args = ap.parse_args()
 
     tower_cfg = SMALL if args.small else FULL
-    ref_bags = args.ref_bags or (8 if not args.small else 4)
+    ref_bags = args.ref_bags or (16 if not args.small else 4)
 
     if not os.path.isdir(REFERENCE_ROOT):
         print(json.dumps({"error": f"reference not mounted at {REFERENCE_ROOT}"}))
@@ -240,9 +240,13 @@ def main():
               f"slides/sec ({ours_step*1e3:.1f} ms / "
               f"{args.bp_every_batch}-bag step)")
 
-    ref_sps = float(np.mean(ref_runs))
-    ours_sps = float(np.mean(ours_runs))
-    spread = lambda runs: round((max(runs) - min(runs)) / 2, 4)
+    # median + MAD: a single descheduled repeat cannot drag the headline
+    # ratio (VERDICT r3 next#5 — the mean-based round-3 ratio had a 2x
+    # min/max spread from 3 repeats x 8 bags)
+    med = lambda runs: float(np.median(runs))
+    mad = lambda runs: float(np.median(np.abs(np.array(runs) - np.median(runs))))
+    ref_sps, ref_mad = med(ref_runs), mad(ref_runs)
+    ours_sps, ours_mad = med(ours_runs), mad(ours_runs)
     import multiprocessing
     result = {
         "host": f"cpu x{multiprocessing.cpu_count()}",
@@ -251,20 +255,25 @@ def main():
         "bp_every_batch": args.bp_every_batch,
         "repeats": args.repeats,
         "reference_slides_per_sec_cpu": round(ref_sps, 4),
-        "reference_slides_per_sec_cpu_spread": spread(ref_runs),
+        "reference_slides_per_sec_cpu_mad": round(ref_mad, 4),
         "reference_runs": [round(x, 4) for x in ref_runs],
         "ours_slides_per_sec_cpu": round(ours_sps, 3),
-        "ours_slides_per_sec_cpu_spread": spread(ours_runs),
+        "ours_slides_per_sec_cpu_mad": round(ours_mad, 4),
         "ours_runs": [round(x, 3) for x in ours_runs],
         "measured_cpu_ratio": round(ours_sps / ref_sps, 2),
-        "measured_cpu_ratio_range": [
+        "measured_cpu_ratio_mad_range": [
+            round((ours_sps - ours_mad) / (ref_sps + ref_mad), 2),
+            round((ours_sps + ours_mad) / max(ref_sps - ref_mad, 1e-9), 2)],
+        "measured_cpu_ratio_minmax_range": [
             round(min(ours_runs) / max(ref_runs), 2),
             round(max(ours_runs) / min(ref_runs), 2)],
         "reference_bags_timed": ref_bags,
         "note": ("same-host torch-CPU vs JAX-CPU measurement of identical "
                  "train-step semantics; anchors bench.py's analytic "
-                 "reference-GPU estimate (SURVEY.md §6); ratio range = "
-                 "worst/best pairing across repeats"),
+                 "reference-GPU estimate (SURVEY.md §6); headline ratio = "
+                 "median/median over repeats, mad_range propagates the "
+                 "median absolute deviations, minmax_range = worst/best "
+                 "pairing"),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -19,9 +19,15 @@ The synthetic cohort embeds a real prognostic signal (bag-mean shift along
 a risk direction drives the event time), so the C-index is meaningfully
 above 0.5 and the comparison is informative.
 
+Round-4 extension (VERDICT r3 next#3): evidence proportional to the int8
+headline's prominence — multiple independent seeds (cohort + init), a
+long-bag (4096-patch) point, both loss families per seed, with the spread
+(max deviation over all runs) reported alongside the per-run numbers.
+
 Usage:
-  python scripts/validate_int8.py --smoke     # small, CI tier (~2 min)
-  python scripts/validate_int8.py             # medium cohort (default out)
+  python scripts/validate_int8.py --smoke           # small, CI tier (~2 min)
+  python scripts/validate_int8.py                   # medium cohort, 1 seed
+  python scripts/validate_int8.py --seeds 0,1,2 --patches 1024,4096
 """
 from __future__ import annotations
 
@@ -187,11 +193,38 @@ def compare(root, cfg_f32, handler_cls, label):
     return res
 
 
+def run_cell(root: str, seed: int, n_pat: int, n_patch: int, dim: int,
+             epochs: int, tower: dict) -> dict:
+    """One (seed, bag-length) cell: fresh cohort, SA + VLSA f32-vs-int8."""
+    from vlsa_tpu.runner import SAHandler, VLSAHandler
+    cell = osp.join(root, f"s{seed}_n{n_patch}")
+    os.makedirs(cell, exist_ok=True)
+    table, split, feat_dir = make_cohort(cell, n_pat, n_patch, dim, seed=seed)
+    cfg_sa = base_cfg(cell, table, split, feat_dir, n_patch, dim, epochs,
+                      "run-sa")
+    cfg_sa["seed"] = 42 + seed  # vary init/shuffle with the cohort
+    cfg_vl = vlsa_cfg(base_cfg(cell, table, split, feat_dir, n_patch, dim,
+                               epochs, "run-vlsa"), dim, tower)
+    cfg_vl["seed"] = 42 + seed
+    return {
+        "seed": seed, "patches_per_bag": n_patch,
+        "sa_abmil": compare(cell, cfg_sa, SAHandler, "sa"),
+        "vlsa": compare(cell, cfg_vl, VLSAHandler, "vlsa"),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--patients", type=int, default=None)
-    ap.add_argument("--patches", type=int, default=None)
+    ap.add_argument("--patches", default=None,
+                    help="comma list of bag lengths, e.g. 1024,4096")
+    ap.add_argument("--seeds", default=None,
+                    help="comma list of cohort/init seeds, e.g. 0,1,2")
+    ap.add_argument("--cells", default=None,
+                    help="explicit seed:patches pairs, e.g. "
+                         "'0:1024,1:1024,2:1024,0:4096' (overrides "
+                         "--seeds/--patches cross product)")
     ap.add_argument("--dim", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--workdir", default=None)
@@ -202,7 +235,10 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     n_pat = args.patients or (36 if args.smoke else 64)
-    n_patch = args.patches or (256 if args.smoke else 1024)
+    patch_list = [int(x) for x in args.patches.split(",")] if args.patches \
+        else [256 if args.smoke else 1024]
+    seed_list = [int(x) for x in args.seeds.split(",")] if args.seeds \
+        else [0]
     dim = args.dim or (64 if args.smoke else 512)
     epochs = args.epochs or (2 if args.smoke else 4)
     tower = ({"width": 32, "heads": 4, "layers": 2, "output_dim": dim}
@@ -214,22 +250,50 @@ def main():
     if root is None:
         tmp = tempfile.TemporaryDirectory(prefix="vlsa_int8_val_")
         root = tmp.name
-    table, split, feat_dir = make_cohort(root, n_pat, n_patch, dim)
 
-    from vlsa_tpu.runner import SAHandler, VLSAHandler
-    cfg_sa = base_cfg(root, table, split, feat_dir, n_patch, dim, epochs,
-                      "run-sa")
-    cfg_vl = vlsa_cfg(base_cfg(root, table, split, feat_dir, n_patch, dim,
-                               epochs, "run-vlsa"), dim, tower)
+    if args.cells:
+        plan = [tuple(int(v) for v in c.split(":"))
+                for c in args.cells.split(",")]
+        patch_list = sorted({p for _, p in plan})
+        seed_list = sorted({s for s, _ in plan})
+    else:
+        plan = [(s, p) for s in seed_list for p in patch_list]
 
+    cells = []
+    for seed, n_patch in plan:
+        print(f"[int8-val] === seed={seed} patches={n_patch} ===")
+        cells.append(run_cell(root, seed, n_pat, n_patch, dim, epochs,
+                              tower))
+
+    def agg(key, field):
+        return [c[key][field] for c in cells]
+    spread = {
+        "c_index_abs_dev_max": max(max(agg("sa_abmil", "c_index_abs_dev")),
+                                   max(agg("vlsa", "c_index_abs_dev"))),
+        "c_index_abs_dev_all": {
+            "sa_abmil": agg("sa_abmil", "c_index_abs_dev"),
+            "vlsa": agg("vlsa", "c_index_abs_dev")},
+        "surv_curve_max_abs_dev_max": max(
+            max(agg("sa_abmil", "survival_curve_max_abs_dev")),
+            max(agg("vlsa", "survival_curve_max_abs_dev"))),
+        "n_cells": len(cells),
+    }
     result = {
-        "cohort": {"patients": n_pat, "patches_per_bag": n_patch, "dim": dim,
+        "cohort": {"patients": n_pat, "patches_per_bag": patch_list,
+                   "seeds": seed_list, "dim": dim,
                    "epochs": epochs, "smoke": bool(args.smoke)},
-        "sa_abmil": compare(root, cfg_sa, SAHandler, "sa"),
-        "vlsa": compare(root, cfg_vl, VLSAHandler, "vlsa"),
-        "note": ("production-runner A/B: identical cohort/seed, float32 .npy "
-                 "store vs the same features pre-quantized to .q8npz "
-                 "(per-patch symmetric int8)"),
+        "spread": spread,
+        "cells": cells,
+        # keep round-3 top-level keys pointing at the first cell so
+        # bench.py's int8_opt_in attachment stays stable
+        "sa_abmil": cells[0]["sa_abmil"],
+        "vlsa": cells[0]["vlsa"],
+        "note": ("production-runner A/B per (seed, bag-length) cell: fresh "
+                 "synthetic cohort + init per seed, float32 .npy store vs "
+                 "the same features pre-quantized to .q8npz (per-patch "
+                 "symmetric int8); both loss families (SA/ABMIL IFMLE and "
+                 "VLSA IFMLE+EMD); 'spread' aggregates max deviations over "
+                 "all cells"),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
