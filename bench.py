@@ -36,9 +36,11 @@ gradients — the per-bag text forwards in the reference are over identical
 parameters), which is where most of the speedup comes from; the rest is the
 fused co-attention kernel + batched MXU-friendly shapes.
 
-When the run config differs from the baseline-measured one (B=256, N=10240,
-full tower — BASELINE_MEASURED.json), vs_baseline is null: sweep outputs
-must not be read as baseline comparisons.
+When the run config differs from the default one (B=1024 — the measured
+B-sweep knee, docs/PERF.md round 4 — N=10240, full tower), vs_baseline is
+null: sweep outputs must not be read as baseline comparisons.  The measured
+CPU-vs-CPU ratio itself is B-independent (it compares identical train-step
+semantics at the reference's bp_every_batch=32 — BASELINE_MEASURED.json).
 """
 from __future__ import annotations
 
@@ -57,13 +59,15 @@ _T0 = time.monotonic()
 # "skipped" notes rather than risking the driver's external timeout (rc 124)
 BUDGET_S = float(_os.environ.get("VLSA_TPU_BENCH_BUDGET_S", "480"))
 
-# Defaults = the measured-best configuration (docs/PERF.md B-sweep): B=256
-# amortises the B-independent text-tower time, int8 feature storage halves
-# the HBM stream again — and the int8 lane carries task-level accuracy
-# evidence (INT8_ACCURACY.json, multi-seed, both loss families).  The bf16
+# Defaults = the measured-best configuration (docs/PERF.md round-4 B-sweep,
+# BSWEEP.json): B=1024 is the throughput knee (37.7k slides/s int8; 512→1024
+# is +8.5% but 1024→2048 only +4% for 2x the memory and step latency — and
+# B=2048 leaves no HBM for the bf16 secondary lane).  int8 feature storage
+# halves the HBM stream and carries task-level accuracy evidence
+# (INT8_ACCURACY.json, multi-seed, both loss families).  The bf16
 # near-reference-numerics lane is measured alongside every run when the
 # budget allows (`bf16_lane` detail block).
-B = int(_os.environ.get("VLSA_TPU_BENCH_B", 256))
+B = int(_os.environ.get("VLSA_TPU_BENCH_B", 1024))
 # Bag length is parameterizable for long-context datapoints (e.g. a 100k-patch
 # whole-slide bag: VLSA_TPU_BENCH_B=8 VLSA_TPU_BENCH_N=102400) — the streaming
 # co-attention kernels are O(N) in HBM and never materialize [B, N, P].
@@ -87,8 +91,78 @@ def _emit(result: dict) -> None:
     print(json.dumps(result), flush=True)
 
 
+def _gen_feats_device(B, N, D, feats_dtype):
+    """Generate the synthetic bench features ON DEVICE (jax.random), in
+    B-chunks so the f32 intermediate stays under ~3 GB of HBM.
+
+    The round-4 B-sweep's B>=1024 points timed out in HOST-side numpy
+    generation (a 21.5 GB f32 array takes minutes on a 1-CPU box), walling
+    the sweep before the device ever ran (BSWEEP.json).  Device generation
+    removes that wall; the per-chunk fold keys make it deterministic, and
+    both storage lanes derive from the SAME underlying f32 draws.
+
+    Returns (feats, x_scale, x_inv) — scale/inv are None unless int8.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    chunk = B
+    while chunk * N * D * 4 > 3e9 and chunk % 2 == 0:
+        chunk //= 2
+
+    @jax.jit
+    def gen_chunk(key):
+        x = jax.random.normal(key, (chunk, N, D), jnp.float32)
+        if feats_dtype == "int8":
+            # device twin of data/pipeline.py::quantize_feats_int8 +
+            # feats_inv_norms (per-patch symmetric scale, 1/l2norm sidecar)
+            scale = jnp.abs(x).max(-1) / 127.0
+            safe = jnp.where(scale > 0, scale, 1.0)
+            q = jnp.clip(jnp.rint(x / safe[..., None]), -127, 127
+                         ).astype(jnp.int8)
+            qf = q.astype(jnp.float32)
+            sq = jnp.einsum("bnd,bnd->bn", qf, qf)
+            inv = jnp.where(sq > 0, jax.lax.rsqrt(sq), 0.0)
+            return q, scale, inv
+        if feats_dtype == "bfloat16":
+            return (x.astype(jnp.bfloat16),)
+        return (x,)
+
+    # donated dynamic_update_slice => in-place chunk writes: peak HBM is
+    # the full store + one f32 chunk, never 2x the store (a concatenate
+    # would copy — at B=1024 bf16 that alone is 21 GB)
+    upd = jax.jit(
+        lambda buf, c, i: jax.lax.dynamic_update_slice(
+            buf, c, (i,) + (jnp.int32(0),) * (c.ndim - 1)),
+        donate_argnums=(0,))
+
+    key0 = jax.random.PRNGKey(1234)
+    bufs = None
+    for ci in range(0, B, chunk):
+        outs = gen_chunk(jax.random.fold_in(key0, ci))
+        if bufs is None:
+            if chunk == B:
+                bufs = list(outs)
+                break
+            bufs = [jnp.zeros((B,) + o.shape[1:], o.dtype) for o in outs]
+        bufs = [upd(b, o, jnp.int32(ci)) for b, o in zip(bufs, outs)]
+    jax.block_until_ready(bufs)
+    if feats_dtype == "int8":
+        return bufs[0], bufs[1], bufs[2]
+    return bufs[0], None, None
+
+
 def main():
     import jax
+    # Honor an explicit JAX_PLATFORMS pin.  The environment may register a
+    # TPU plugin at interpreter start (sitecustomize) that selects
+    # "axon,cpu" REGARDLESS of the env var — a CPU-pinned run (the CI smoke
+    # test, tests/test_bench_smoke.py) would otherwise silently go over the
+    # TPU tunnel and time out in remote compiles.  Same failure mode the
+    # extraction CLI hit (scripts/extract_features.py --platform).
+    _plat = _os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        jax.config.update("jax_platforms", _plat)
     # persistent compilation cache: repeated bench runs (e.g. the driver's)
     # skip the multi-minute remote TPU compile (machine-fingerprinted when
     # benching on a CPU host — see vlsa_tpu/compile_cache.py)
@@ -197,19 +271,9 @@ def main():
 
     rng = np.random.default_rng(0)
     feats_dtype = _os.environ.get("VLSA_TPU_BENCH_FEATS_DTYPE", "int8")
-    x_scale = x_inv = None
-    feats_np = rng.normal(size=(B, N, D)).astype(np.float32)
-    if feats_dtype == "int8":
-        from vlsa_tpu.data.pipeline import feats_inv_norms, quantize_feats_int8
-        q8, s8 = quantize_feats_int8(feats_np)
-        feats = jnp.asarray(q8)
-        x_scale = jnp.asarray(s8)
-        x_inv = jnp.asarray(feats_inv_norms(q8))
-    else:
-        feats = jnp.asarray(feats_np)
-        if feats_dtype == "bfloat16":
-            feats = feats.astype(jnp.bfloat16)
-    del feats_np
+    _note(f"generate features on device "
+          f"({B * N * D * 4 / 1e9:.1f} GB f32 equivalent)")
+    feats, x_scale, x_inv = _gen_feats_device(B, N, D, feats_dtype)
     mask = jnp.ones((B, N), bool)
     t = jnp.asarray(rng.integers(0, K, size=B), jnp.int32)
     e = jnp.asarray(rng.integers(0, 2, size=B), jnp.float32)
@@ -291,11 +355,14 @@ def main():
     slides_per_sec = B / (t_train + t_infer)
     # Headline ratio (VERDICT r2 weak#2): lead with the MEASURED same-host
     # CPU-vs-CPU ratio (scripts/measure_reference.py runs the actual
-    # reference loop and ours on the same silicon); the analytic reference-
-    # on-3090 estimate stays as secondary context.  The baseline was
-    # measured at the default config (B=256, N=10240, full tower); a sweep
-    # run at any other config gets vs_baseline=null (ADVICE r3 #1).
-    is_baseline_cfg = (N == 10240 and B == 256 and not small)
+    # reference loop and ours on the same silicon; the ratio compares
+    # identical train-step semantics at the reference's bp_every_batch=32,
+    # so it is independent of this script's B); the analytic reference-
+    # on-3090 estimate stays as secondary context.  Only the default config
+    # (B=1024 — the measured B-sweep knee — N=10240, full tower) reports the
+    # ratio; a sweep run at any other config gets vs_baseline=null
+    # (ADVICE r3 #1).
+    is_baseline_cfg = (N == 10240 and B == 1024 and not small)
     vs_analytic = round(slides_per_sec / REFERENCE_SLIDES_PER_SEC, 2)
     vs_measured = (measured or {}).get("measured_cpu_ratio")
     if is_baseline_cfg:
@@ -307,7 +374,7 @@ def main():
     else:
         vs_baseline = None
         vs_basis = (f"config (B={B}, N={N}, small={small}) differs from the "
-                    "baseline-measured one (B=256, N=10240, full tower) — "
+                    "default one (B=1024, N=10240, full tower) — "
                     "no comparable baseline ratio")
     result = {
         "metric": f"slides/sec at {N / 1024:g}k-patch bags (train+infer step)",
@@ -380,6 +447,45 @@ def main():
             result["detail"][name] = detail
             _emit(result)
 
+    # production-eval variant: the runner's test_model precomputes the text
+    # branch once per eval pass (engine.text_precompute) — measure the
+    # resulting per-batch step as a detail (headline keeps the conservative
+    # per-step re-encode protocol, matching the reference's semantics).
+    # Runs BEFORE the other-storage lane: it is the last consumer of the
+    # headline feature store, which the other lane frees to fit its own
+    # store in HBM (at B=1024 the int8 headline 5.4 GB + bf16 lane 10.7 GB
+    # + the generator's f32 chunk would exceed the chip's 16 GB).
+    def run_infer_pre():
+        def infer_pre_scan(params, feats, mask, tf, q, n):
+            def body(chain, _):
+                out, _i, _t = model.apply(
+                    {"params": params}, feats, mask,
+                    text_features=tf + chain * 1e-30,
+                    query=None if q is None else q + chain * 1e-30,
+                    x_scale=x_scale, x_inv=x_inv)
+                return out[0, 0], out
+            _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return outs[-1]
+
+        tf_pre, q_pre = jax.jit(
+            lambda p: model.apply({"params": p}, method=model.text_precompute))(params)
+        infer_pre_jit = jax.jit(functools.partial(infer_pre_scan, n=SCAN_N))
+        _ = float(infer_pre_jit(params, feats, mask, tf_pre, q_pre).sum())
+        t_pre = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            out = infer_pre_jit(params, feats, mask, tf_pre, q_pre)
+            _ = float(out.sum())
+            t_pre = min(t_pre, (time.perf_counter() - t0) / SCAN_N)
+        result["detail"]["infer_step_precomputed_text_ms"] = round(t_pre * 1e3, 2)
+        return None  # wrote directly into detail
+
+    lane("infer_precomputed_text", est_s=75.0,
+         enabled=_os.environ.get("VLSA_TPU_BENCH_PRE", "1") == "1",
+         fn=run_infer_pre)
+    if "infer_step_precomputed_text_ms" in result["detail"]:
+        _emit(result)
+
     # --- the OTHER storage lane: the int8 headline (default) pairs with the
     # bf16 near-reference-numerics lane; a bf16 headline run pairs with the
     # int8 lane.  Reuses the same jitted scans (new dtype => recompile;
@@ -387,23 +493,21 @@ def main():
     other_name = "bf16_lane" if feats_dtype == "int8" else "int8_opt_in"
 
     def run_other_lane():
-        nonlocal params, opt_state
-        f32 = np.random.default_rng(0).normal(size=(B, N, D)).astype(np.float32)
-        if feats_dtype == "int8":      # secondary lane = bf16
-            feats_o = jnp.asarray(f32).astype(jnp.bfloat16)
-            xs_o = xi_o = None
+        nonlocal params, opt_state, feats, x_scale, x_inv
+        # free the headline store first (its last consumer, the precomputed-
+        # text lane, already ran): at B=1024 headline int8 (5.4 GB) + bf16
+        # lane (10.7 GB) + the generator's f32 chunk cannot coexist in HBM
+        feats = x_scale = x_inv = None
+        # device generation from the SAME per-chunk fold keys as the
+        # headline store — both lanes quantize/cast identical f32 draws
+        other_dtype = "bfloat16" if feats_dtype == "int8" else "int8"
+        feats_o, xs_o, xi_o = _gen_feats_device(B, N, D, other_dtype)
+        if other_dtype == "bfloat16":
             note = ("feats_dtype: bfloat16 (near-reference numerics; "
                     "f32 storage reproduces the reference exactly)")
-        else:                          # secondary lane = int8
-            from vlsa_tpu.data.pipeline import feats_inv_norms, quantize_feats_int8
-            q8, s8 = quantize_feats_int8(f32)
-            feats_o = jnp.asarray(q8)
-            xs_o = jnp.asarray(s8)
-            xi_o = jnp.asarray(feats_inv_norms(q8))
-            del q8
+        else:
             note = ("feats_dtype: int8 (per-patch quantized storage, "
-                    "native int8 MXU kernels + host inv norms)")
-        del f32
+                    "native int8 MXU kernels + precomputed inv norms)")
         params2, opt_state2, loss = train_scan_jit(
             params, opt_state, feats_o, mask, t, e, key, x_scale=xs_o,
             x_inv=xi_o)
@@ -436,48 +540,15 @@ def main():
             detail["task_accuracy"] = int8_accuracy
         return detail
 
-    lane(other_name, est_s=120.0,
+    # generation is on-device now (seconds, not the 1-CPU host's minutes);
+    # the est is dominated by the other-dtype scans' fresh compile
+    lane(other_name, est_s=150.0,
          enabled=(jax.default_backend() == "tpu"
                   and feats_dtype in ("int8", "bfloat16")
                   and _os.environ.get(
                       "VLSA_TPU_BENCH_OTHER_LANE",
                       _os.environ.get("VLSA_TPU_BENCH_INT8", "1")) == "1"),
          fn=run_other_lane)
-
-    # production-eval variant: the runner's test_model precomputes the text
-    # branch once per eval pass (engine.text_precompute) — measure the
-    # resulting per-batch step as a detail (headline keeps the conservative
-    # per-step re-encode protocol, matching the reference's semantics)
-    def run_infer_pre():
-        def infer_pre_scan(params, feats, mask, tf, q, n):
-            def body(chain, _):
-                out, _i, _t = model.apply(
-                    {"params": params}, feats, mask,
-                    text_features=tf + chain * 1e-30,
-                    query=None if q is None else q + chain * 1e-30,
-                    x_scale=x_scale, x_inv=x_inv)
-                return out[0, 0], out
-            _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
-            return outs[-1]
-
-        tf_pre, q_pre = jax.jit(
-            lambda p: model.apply({"params": p}, method=model.text_precompute))(params)
-        infer_pre_jit = jax.jit(functools.partial(infer_pre_scan, n=SCAN_N))
-        _ = float(infer_pre_jit(params, feats, mask, tf_pre, q_pre).sum())
-        t_pre = float("inf")
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            out = infer_pre_jit(params, feats, mask, tf_pre, q_pre)
-            _ = float(out.sum())
-            t_pre = min(t_pre, (time.perf_counter() - t0) / SCAN_N)
-        result["detail"]["infer_step_precomputed_text_ms"] = round(t_pre * 1e3, 2)
-        return None  # wrote directly into detail
-
-    lane("infer_precomputed_text", est_s=75.0,
-         enabled=_os.environ.get("VLSA_TPU_BENCH_PRE", "1") == "1",
-         fn=run_infer_pre)
-    if "infer_step_precomputed_text_ms" in result["detail"]:
-        _emit(result)
 
     # --- patch->feature extraction throughput (tiles/sec through the full
     # CONCH ViT-B/16 tower at 448x448, forward_no_head — BASELINE config 5's
