@@ -84,11 +84,113 @@ def _note(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+_FULL_RECORD_PATH = _os.environ.get(
+    "VLSA_TPU_BENCH_FULL_PATH",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                  "BENCH_FULL_LAST.json"))
+
+# stdout line-length contract: the driver captures only the LAST ~2000
+# characters of stdout, so every line printed to stdout must stay well
+# under that.  BENCH_r04 was lost because the final line re-emitted the
+# entire ever-growing record (>2000 chars) and the truncation cut off the
+# headline fields at the FRONT of the line (VERDICT r4 #1).
+_MAX_LINE = 1400
+
+# compact-detail keys, in priority order; dropped from the END if the
+# line would exceed _MAX_LINE (defensive — in practice it never does)
+_COMPACT_DETAIL_KEYS = (
+    "train_step_ms", "infer_step_ms", "batch_bags", "patches_per_bag",
+    "backend", "feats_dtype", "tower_compute_dtype",
+    "measured_cpu_ratio", "measured_cpu_ratio_minmax_range",
+    "lanes_completed", "bf16_lane_slides_per_sec",
+    "int8_lane_slides_per_sec",
+    "infer_step_precomputed_text_ms", "extract_tiles_per_sec",
+    "interp_patients_per_sec",
+)
+
+
+def _compact_line(result: dict) -> str:
+    """Build the driver-parseable stdout line: headline fields + a flat,
+    bounded detail summary.  Guaranteed <= _MAX_LINE chars."""
+    d = result.get("detail", {})
+    lanes = [k for k in ("infer_precomputed_text" if
+                         "infer_step_precomputed_text_ms" in d else None,
+                         "bf16_lane" if isinstance(d.get("bf16_lane"), dict)
+                         and "slides_per_sec" in d.get("bf16_lane", {}) else None,
+                         "int8_opt_in" if isinstance(d.get("int8_opt_in"), dict)
+                         and "slides_per_sec" in d.get("int8_opt_in", {}) else None,
+                         "feature_extraction" if isinstance(
+                             d.get("feature_extraction"), dict)
+                         and "tiles_per_sec" in d.get("feature_extraction", {})
+                         else None,
+                         "interpretation" if isinstance(
+                             d.get("interpretation"), dict)
+                         and "patients_per_sec" in d.get("interpretation", {})
+                         else None,
+                         "kernels_chip" if isinstance(d.get("kernels_chip"),
+                                                      dict)
+                         and d.get("kernels_chip", {}).get("ok") else None)
+             if k]
+    mref = d.get("measured_reference_cpu") or {}
+    flat = {
+        "train_step_ms": d.get("train_step_ms"),
+        "infer_step_ms": d.get("infer_step_ms"),
+        "batch_bags": d.get("batch_bags"),
+        "patches_per_bag": d.get("patches_per_bag"),
+        "backend": d.get("backend"),
+        "feats_dtype": d.get("feats_dtype"),
+        "tower_compute_dtype": d.get("tower_compute_dtype"),
+        "measured_cpu_ratio": mref.get("measured_cpu_ratio"),
+        "measured_cpu_ratio_minmax_range": mref.get("minmax_range"),
+        "lanes_completed": lanes,
+        "bf16_lane_slides_per_sec": (d.get("bf16_lane") or {}).get(
+            "slides_per_sec"),
+        "int8_lane_slides_per_sec": (d.get("int8_opt_in") or {}).get(
+            "slides_per_sec"),
+        "infer_step_precomputed_text_ms": d.get(
+            "infer_step_precomputed_text_ms"),
+        "extract_tiles_per_sec": (d.get("feature_extraction") or {}).get(
+            "tiles_per_sec"),
+        "interp_patients_per_sec": (d.get("interpretation") or {}).get(
+            "patients_per_sec"),
+    }
+    compact = {
+        "bench_schema_version": 2,
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "vs_baseline": result.get("vs_baseline"),
+        "note": result.get("note"),
+        "detail": {k: flat.get(k) for k in _COMPACT_DETAIL_KEYS
+                   if flat.get(k) is not None},
+        "full_record": _os.path.basename(_FULL_RECORD_PATH),
+    }
+    if compact["note"] is None:
+        compact.pop("note")
+    line = json.dumps(compact)
+    for k in reversed(_COMPACT_DETAIL_KEYS):   # defensive shrink
+        if len(line) <= _MAX_LINE:
+            break
+        compact["detail"].pop(k, None)
+        line = json.dumps(compact)
+    return line
+
+
 def _emit(result: dict) -> None:
-    """Print the (possibly updated) result line; flushed so a later kill
-    cannot erase it.  Every emitted line is a complete, self-consistent
-    record with identical headline fields."""
-    print(json.dumps(result), flush=True)
+    """Emit the (possibly updated) result.  stdout gets ONLY the compact
+    driver-parseable headline line (<= _MAX_LINE chars, so the driver's
+    last-2000-char tail capture always contains it whole); the FULL record
+    goes to BENCH_FULL_LAST.json and stderr.  Flushed so a later kill
+    cannot erase it."""
+    try:
+        with open(_FULL_RECORD_PATH, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+    print("[bench full record] " + json.dumps(result),
+          file=sys.stderr, flush=True)
+    print(_compact_line(result), flush=True)
 
 
 def _gen_feats_device(B, N, D, feats_dtype):
@@ -153,6 +255,31 @@ def _gen_feats_device(B, N, D, feats_dtype):
 
 
 def main():
+    global B
+    # FIRST statement: a provisional, parseable headline line (value null).
+    # A kill at ANY later point — including minutes of cold-cache compile
+    # silence — leaves the driver a valid final line instead of an empty or
+    # truncated tail (VERDICT r4 #2; BENCH_r03 rc=124 had an empty tail).
+    print(json.dumps({
+        "bench_schema_version": 2,
+        "metric": f"slides/sec at {N / 1024:g}k-patch bags (train+infer step)",
+        "value": None, "unit": "slides/sec", "vs_baseline": None,
+        "note": "provisional — building/compiling; a complete record "
+                "replaces this line",
+    }), flush=True)
+
+    # degrade path: if the wall-clock budget cannot plausibly cover the
+    # full flagship compile + warm at the default B, drop to B=256 (a
+    # fraction of B=1024's compile and HBM) rather than risk rc=124.
+    # Only the DEFAULT B degrades — an explicit VLSA_TPU_BENCH_B pin wins.
+    FLAGSHIP_EST_S = 300.0
+    degraded_b = None
+    if (_os.environ.get("VLSA_TPU_BENCH_B") is None and B == 1024
+            and _remaining() < FLAGSHIP_EST_S):
+        degraded_b, B = B, 256
+        _note(f"budget {_remaining():.0f}s < {FLAGSHIP_EST_S:.0f}s flagship "
+              f"estimate: degrading B {degraded_b} -> {B}")
+
     import jax
     # Honor an explicit JAX_PLATFORMS pin.  The environment may register a
     # TPU plugin at interpreter start (sitecustomize) that selects
@@ -401,8 +528,19 @@ def main():
             "reference_slides_per_sec_cpu": measured["reference_slides_per_sec_cpu"],
             "ours_slides_per_sec_cpu": measured["ours_slides_per_sec_cpu"],
             "measured_cpu_ratio": measured["measured_cpu_ratio"],
+            # run-to-run spread disclosure (ADVICE r4 #2): ours_runs spans
+            # 3.2-11.8 slides/s, so the worst/best pairing range must ride
+            # along with the headline ratio, not only the MAD range
+            "minmax_range": measured.get("measured_cpu_ratio_minmax_range"),
+            "mad_range": measured.get("measured_cpu_ratio_mad_range"),
             "host": measured.get("host"),
         }
+    if degraded_b is not None:
+        result["detail"]["degraded_from_b"] = degraded_b
+        result["vs_baseline"] = None
+        result["vs_baseline_basis"] = (
+            f"degraded to B={B} under budget (default B={degraded_b}) — "
+            "no comparable baseline ratio")
 
     # ======= THE HEADLINE IS SAFE FROM HERE ON =======
     _note(f"headline: {slides_per_sec:.1f} slides/s "
