@@ -101,7 +101,7 @@ class AttentionPooling(nn.Module):
             return pooled, None
         from ..ops.flags import pallas_disabled
         fused_ok = (x.ndim == 3 and not need_attn and x.shape[1] >= 256
-                    and pick_block(x.shape[1]) is not None
+                    and pick_block(x.shape[1], x.dtype) is not None
                     and not pallas_disabled())
         if fused_ok:
             pooled = _abmil.abmil_pool(x, mask, k1.T, b1, k2[:, 0], b2[0],

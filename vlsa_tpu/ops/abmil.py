@@ -40,10 +40,16 @@ Array = jax.Array
 _BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "1280"))
 
 
-def pick_block(N: int):
+def pick_block(N: int, dtype=None):
     """Largest 128-aligned tile dividing N (2048 stays out of the fallback
-    chain: the bwd's [bn, hid] intermediates exceed VMEM there)."""
-    for b in (_BLOCK_N, 1280, 1024, 512, 256, 128):
+    chain: the bwd's [bn, hid] intermediates exceed VMEM there).
+
+    f32 storage caps at 1024: the f32 backward at block 1280 CRASHES the
+    Mosaic compiler on a real v5e (found by scripts/validate_kernels_chip.py
+    round 5 — the round-3 on-chip sweep only ever ran f32 at 1024 and bf16
+    at 1280, so the shared 1280 default was untested for f32)."""
+    top = min(_BLOCK_N, 1024) if dtype == jnp.float32 else _BLOCK_N
+    for b in (top, 1280, 1024, 512, 256, 128):
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
             return b
@@ -142,7 +148,7 @@ def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref, stats_ref,
 def _abmil_pallas(x, mask, w1, b1, w2):
     B, N, D = x.shape
     hid = w1.shape[0]
-    block_n = pick_block(N)
+    block_n = pick_block(N, x.dtype)
     assert block_n is not None
     n_blocks = N // block_n
     kernel = functools.partial(_abmil_kernel, n_blocks=n_blocks)
@@ -249,7 +255,7 @@ def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
 def _abmil_pallas_bwd(x, mask, w1, b1, w2, g, out, stats):
     B, N, D = x.shape
     hid = w1.shape[0]
-    block_n = pick_block(N)
+    block_n = pick_block(N, x.dtype)
     n_blocks = N // block_n
     kernel = functools.partial(_abmil_bwd_kernel, n_blocks=n_blocks)
     dx, dw1, db1, dw2 = pl.pallas_call(
@@ -554,7 +560,7 @@ def abmil_pool(x, mask, w1, b1, w2, b2, use_pallas: Optional[bool] = None,
         # of tripping the kernel's block assert
         from .flags import pallas_disabled
         use_pallas = (_HAS_PALLAS and jax.default_backend() == "tpu"
-                      and pick_block(x.shape[1]) is not None
+                      and pick_block(x.shape[1], x.dtype) is not None
                       and not pallas_disabled())
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)

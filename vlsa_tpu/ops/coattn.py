@@ -81,6 +81,22 @@ def _pick_block(N: int, dtype=None):
     return None
 
 
+def _pick_block_dx(N: int, dtype):
+    """Block chain for the full-backward (dX-writing) kernel.  It streams
+    the x block IN and the dx block OUT, and Mosaic double-buffers both
+    across grid steps — 2 x 2 x block x C x itemsize of scoped VMEM just
+    for the feature tiles.  At f32/2048/C=512 that is 16 MB, 64 KB OVER
+    the v5e scoped-vmem limit (found by scripts/validate_kernels_chip.py
+    on the real chip — the interpreter-mode tests cannot see it), so this
+    path halves the f32 tile and caps bf16 at 2048."""
+    top = 1024 if dtype == jnp.float32 else min(_BLOCK_N, 2048)
+    for b in (top, 1024, 512, 256, 128):
+        b = min(b, N)
+        if b % 128 == 0 and N % b == 0:
+            return b
+    return None
+
+
 def dequantize_feats(x: Array, x_scale: Optional[Array]) -> Array:
     """Undo per-patch symmetric int8 quantization: x [.., N, C] int8,
     x_scale [.., N] f32 -> f32 features."""
@@ -517,7 +533,7 @@ def _coattn_pallas_fwd(q: Array, x: Array, mask: Array, scale: Array,
 
 def _coattn_pallas_bwd(q_pad, x, mask, scale, g_pad, out_pad, stats):
     B, N, C = x.shape
-    block_n = _pick_block(N, x.dtype)
+    block_n = _pick_block_dx(N, x.dtype)
     n_blocks = N // block_n
     P_pad = q_pad.shape[0]
 
