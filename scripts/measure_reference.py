@@ -277,6 +277,7 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps(result))
 
 
