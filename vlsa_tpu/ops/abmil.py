@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coattn import _mm_rows, _mm_unstack, _stream_matmul, dequantize_feats
+from .coattn import (_dotf, _mm_rows, _mm_unstack, _stream_matmul,
+                     dequantize_feats)
 from .masked import masked_softmax
 
 try:
@@ -70,7 +71,7 @@ def _h_matmul(x, w1):
     """h_pre [bn, hid] = x @ w1.T with x in its STORAGE dtype (bf16 streams
     natively; f32 keeps the exact path)."""
     if x.dtype == jnp.float32:
-        return jnp.dot(x, w1.T, preferred_element_type=jnp.float32)
+        return _dotf(x, w1.T, preferred_element_type=jnp.float32)
     if not _PRECISE:
         return jnp.dot(x, w1.astype(x.dtype).T,
                        preferred_element_type=jnp.float32)
@@ -85,7 +86,7 @@ def _h_matmul(x, w1):
 def _dz_w1_matmul(dz, w1, dtype):
     """dx contribution dz @ w1 with the contraction in `dtype`."""
     if dtype == jnp.float32:
-        return jnp.dot(dz, w1, preferred_element_type=jnp.float32)
+        return _dotf(dz, w1, preferred_element_type=jnp.float32)
     if not _PRECISE:
         return jnp.dot(dz.astype(dtype), w1.astype(dtype),
                        preferred_element_type=jnp.float32)
@@ -132,7 +133,7 @@ def _abmil_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, out_ref, stats_ref,
     p = jnp.where(msk > 0, p, 0.0)
     l_scr[0, 0] = l_scr[0, 0] * corr + jnp.sum(p)
     ps, np_ = _mm_rows(p[None, :], dtype=x.dtype)
-    pv, = _mm_unstack(jnp.dot(ps, x, preferred_element_type=jnp.float32),
+    pv, = _mm_unstack(_dotf(ps, x, preferred_element_type=jnp.float32),
                       1, np_)                            # [1, D]
     acc_scr[:] = acc_scr[:] * corr + pv
     m_scr[0, 0] = m_new
@@ -223,7 +224,7 @@ def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
     a = jnp.where(msk > 0, a, 0.0)                       # [bn]
 
     gs, np_ = _mm_rows(g, dtype=x.dtype)
-    gx_row, = _mm_unstack(jnp.dot(gs, x.T, preferred_element_type=jnp.float32),
+    gx_row, = _mm_unstack(_dotf(gs, x.T, preferred_element_type=jnp.float32),
                           1, np_)                               # [1, bn]
     gx = gx_row[0]                                              # [bn]
     gout = jnp.sum(g[0] * out[0])                               # scalar
@@ -235,11 +236,11 @@ def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
 
     if _PRECISE or x.dtype == jnp.float32:
         dzs, np_ = _mm_rows(dz.T, dtype=x.dtype)
-        dw1c, = _mm_unstack(jnp.dot(dzs, x, preferred_element_type=jnp.float32),
+        dw1c, = _mm_unstack(_dotf(dzs, x, preferred_element_type=jnp.float32),
                             1, np_)                             # [hid, D]
     else:
-        dw1c = jnp.dot(dz.T.astype(x.dtype), x,
-                       preferred_element_type=jnp.float32)
+        dw1c = _dotf(dz.T.astype(x.dtype), x,
+                     preferred_element_type=jnp.float32)
     dw1_scr[:] = dw1_scr[:] + dw1c
     db1_scr[:] = db1_scr[:] + jnp.sum(dz, axis=0, keepdims=True)
     dw2_scr[:] = dw2_scr[:] + jnp.dot(ds[None, :], h,

@@ -176,6 +176,20 @@ def _mm_unstack_i8(prod, scales):
     return outs
 
 
+
+def _dotf(a, b, **kw):
+    """MXU dot that keeps TRUE f32 when both operands are f32.  Without an
+    explicit precision Mosaic lowers f32xf32 dots as ONE-PASS bf16
+    (measured 2.5e-3 rel error on a real v5e; interpreter mode computes
+    exact f32 and cannot see it — scripts/validate_kernels_chip.py round 5
+    caught the f32 storage paths deviating 5-20%% through the scale-30
+    softmax).  bf16/int8 operands keep the default: those are the hi/lo
+    and native-int8 paths, already precision-engineered."""
+    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.dot(a, b, **kw)
+
+
 def _stream_matmul(mats, x, transpose: bool):
     """dot(stack(mats), x.T | x) against the patch stream in its STORAGE
     dtype — int8 runs the native int8 MXU mode, bf16/f32 the hi/lo bf16
@@ -186,7 +200,7 @@ def _stream_matmul(mats, x, transpose: bool):
         prod = jnp.dot(stacked, operand, preferred_element_type=jnp.int32)
         return _mm_unstack_i8(prod, scales)
     stacked, np_ = _mm_rows(*mats, dtype=x.dtype)
-    prod = jnp.dot(stacked, operand, preferred_element_type=jnp.float32)
+    prod = _dotf(stacked, operand, preferred_element_type=jnp.float32)
     return _mm_unstack(prod, len(mats), np_)
 
 
@@ -338,7 +352,7 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
     # one stacked matmul against x.T: the logits dot (q . x[n]) and the
     # attention cotangent dA[p,n] = g[p] . x[n] share one MXU weight stream
     qg, np_ = _mm_rows(q, g, dtype=x.dtype)
-    both = jnp.dot(qg, x.T, preferred_element_type=jnp.float32)
+    both = _dotf(qg, x.T, preferred_element_type=jnp.float32)
     raw, da = _mm_unstack(both, 2, np_)                   # [P, bn] each
     logits = scale * raw * inv_row
     logits = jnp.where(msk[None, :] > 0, logits, -1e30)
@@ -355,19 +369,19 @@ def _coattn_bwd_kernel(q_ref, x_ref, mask_ref, scale_ref, g_ref, out_ref,
     # materialised as a matmul operand.  Using dxn_hat := inv * dxn:
     #   dxn_hat[n] = scale * sum_p dl_inv[p,n] q[p]        (one matmul)
     #   inv*(dxn - xn proj) = dxn_hat - x * inv^2 * (x . dxn_hat)
-    dxn_hat = scale * jnp.dot(
+    dxn_hat = scale * _dotf(
         dl_inv.T.astype(x.dtype), q, preferred_element_type=jnp.float32)  # [bn, C]
     xf = x.astype(jnp.float32)
     inv_col = jax.lax.rsqrt(jnp.maximum(
         jnp.sum(xf * xf, axis=-1, keepdims=True), 1e-24))          # [bn, 1]
     proj = jnp.sum(xf * dxn_hat, axis=-1, keepdims=True) * (inv_col * inv_col)
-    dx = jnp.dot(a.T.astype(x.dtype), g.astype(x.dtype),
-                 preferred_element_type=jnp.float32) \
+    dx = _dotf(a.T.astype(x.dtype), g.astype(x.dtype),
+               preferred_element_type=jnp.float32) \
         + (dxn_hat - xf * proj)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
     dls, np_ = _mm_rows(dl_inv, dtype=x.dtype)
-    dqc, = _mm_unstack(jnp.dot(dls, x, preferred_element_type=jnp.float32),
+    dqc, = _mm_unstack(_dotf(dls, x, preferred_element_type=jnp.float32),
                        1, np_)                            # [P, C]
     dq_scr[:] = dq_scr[:] + scale * dqc
 
