@@ -14,6 +14,7 @@ storage rounding the user opted into).
 
 Checks (each production path bench.py exercises):
   * coattn f32, full backward (dQ + dX)          — ref model/deepmil.py:185-204
+  * coattn f32, stop-gradient (dQ-only)          — the production f32 route
   * coattn bf16 storage, stop-gradient (dQ-only) — the bf16 lane
   * coattn int8 + host inv-norms, stop-gradient  — the headline int8 lane
   * ABMIL f32 fused fwd + full backward          — SA-handler production path
@@ -84,6 +85,7 @@ def run_checks(B: int = 8, N: int = 10240, C: int = 512, P: int = 12,
     # bf16/int8 fwd picks up one extra rounding of the M-side matrices)
     TOL = {
         "coattn_f32":  {"fwd": 1e-4, "dq": 1e-3, "dx": 1e-3},
+        "coattn_f32_nodx": {"fwd": 1e-4, "dq": 1e-3},
         "coattn_bf16": {"fwd": 1e-3, "dq": 2e-3},
         "coattn_int8": {"fwd": 1e-3, "dq": 2e-3},
         "abmil_f32":   {"fwd": 1e-4, "dw": 1e-3, "dx": 1e-3},
@@ -130,6 +132,21 @@ def run_checks(B: int = 8, N: int = 10240, C: int = 512, P: int = 12,
         return {"fwd": fwd_dev, "dq": _rel(gk[0], gr[0]),
                 "dx": _rel(gk[1], gr[1])}
     check("coattn_f32", _coattn_f32)
+
+    # ---- coattn f32 stop-gradient (the PRODUCTION f32 route: VLFAN
+    # without a feat projecter declares X constant -> dQ-only kernel) ----
+    def _coattn_f32_nodx():
+        f = lambda q_: co.coattn_pool(q_, x, mask, scale, use_pallas=True,
+                                      x_stop_gradient=True)
+        fwd_dev = _rel(
+            jax.jit(f)(q),
+            ref_call(lambda q_: co.coattn_pool_reference(
+                q_, x, mask, 30.0), q))
+        dq_k = jax.jit(jax.grad(lambda q_: jnp.sum(f(q_) ** 2)))(q)
+        dq_r = ref_call(jax.grad(lambda q_: jnp.sum(
+            co.coattn_pool_reference(q_, x, mask, 30.0) ** 2)), q)
+        return {"fwd": fwd_dev, "dq": _rel(dq_k, dq_r)}
+    check("coattn_f32_nodx", _coattn_f32_nodx)
 
     # ---- coattn bf16 storage, stop-gradient (production bf16 lane) ----
     xb = x.astype(jnp.bfloat16)

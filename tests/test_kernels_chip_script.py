@@ -56,4 +56,4 @@ def test_dx_block_chain_fits_vmem_budget():
         assert b32 is None or 2 * 2 * b32 * 512 * 4 <= 16 * 1024 * 1024
         assert b16 is None or 2 * 2 * b16 * 512 * 2 <= 16 * 1024 * 1024
         a32 = ab.pick_block(N, jnp.float32)
-        assert a32 is None or a32 <= 1024
+        assert a32 is None or a32 <= 512

@@ -45,11 +45,13 @@ def pick_block(N: int, dtype=None):
     """Largest 128-aligned tile dividing N (2048 stays out of the fallback
     chain: the bwd's [bn, hid] intermediates exceed VMEM there).
 
-    f32 storage caps at 1024: the f32 backward at block 1280 CRASHES the
-    Mosaic compiler on a real v5e (found by scripts/validate_kernels_chip.py
-    round 5 — the round-3 on-chip sweep only ever ran f32 at 1024 and bf16
-    at 1280, so the shared 1280 default was untested for f32)."""
-    top = min(_BLOCK_N, 1024) if dtype == jnp.float32 else _BLOCK_N
+    f32 storage caps at 512: the f32 backward at block 1280 CRASHES the
+    Mosaic compiler on a real v5e, and with the round-5 true-f32 dots
+    (precision=HIGHEST) so does 1024; 512 compiles and validates at
+    ~2e-6 vs a true-f32 XLA reference (scripts/validate_kernels_chip.py
+    — the round-3 on-chip sweep only ever ran f32 at 1024 with the old
+    silently-bf16 dots, so none of this was visible)."""
+    top = min(_BLOCK_N, 512) if dtype == jnp.float32 else _BLOCK_N
     for b in (top, 1280, 1024, 512, 256, 128):
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
@@ -243,8 +245,8 @@ def _abmil_bwd_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, g_ref, out_ref,
                      preferred_element_type=jnp.float32)
     dw1_scr[:] = dw1_scr[:] + dw1c
     db1_scr[:] = db1_scr[:] + jnp.sum(dz, axis=0, keepdims=True)
-    dw2_scr[:] = dw2_scr[:] + jnp.dot(ds[None, :], h,
-                                      preferred_element_type=jnp.float32)
+    dw2_scr[:] = dw2_scr[:] + _dotf(ds[None, :], h,
+                                    preferred_element_type=jnp.float32)
 
     @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))
     def _fin():
@@ -445,7 +447,7 @@ def _abmil_q8_bwd_kernel(x_ref, xs_ref, mask_ref, w1_ref, b1_ref, w2_ref,
     dw1c, = _stream_matmul([dz * s_row[None, :]], x, transpose=False)  # [hid, D]
     dw1_scr[:] = dw1_scr[:] + dw1c
     db1_scr[:] = db1_scr[:] + jnp.sum(dz, axis=1)[None, :]
-    dw2_scr[:] = dw2_scr[:] + jnp.dot(h, ds[:, None],
+    dw2_scr[:] = dw2_scr[:] + _dotf(h, ds[:, None],
                                       preferred_element_type=jnp.float32).T
 
     @pl.when(jnp.logical_and(b == n_b - 1, i == n_blocks - 1))

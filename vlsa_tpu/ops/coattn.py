@@ -65,7 +65,11 @@ Array = jax.Array
 # divisibility-only fallback chain cannot catch.  Both overridable for other
 # TPU generations.  Non-divisible N falls back down the chain.
 _BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "2560"))
-_BLOCK_N_F32 = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N_F32", "2048"))
+# f32 tiles: 1024, not 2048 — the true-f32 dots (_dotf precision=HIGHEST,
+# round 5) expand to multi-pass MXU programs whose VMEM footprint no longer
+# fits a 2048 tile (chip-tested: 2048 fails to compile, 1024 validates at
+# fwd 9.2e-6 / dQ 2.7e-5 vs a true-f32 XLA reference)
+_BLOCK_N_F32 = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N_F32", "1024"))
 _STATS_LANES = 128  # m/l stored in a [P_pad, 128] tile (col 0 = m, col 1 = l)
 INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 
@@ -663,6 +667,22 @@ def _coattn_fwd_rule(q, x, mask, scale):
 
 def _coattn_bwd_rule(res, g):
     q_pad, x, mask, scale, out_pad, stats, P = res
+    if x.dtype == jnp.float32 and not INTERPRET:
+        # Mosaic cannot compile the dX-writing kernel with true-f32 dots
+        # at ANY viable tile (precision=HIGHEST expansion: chip-tested
+        # failures at 2048/1024/512 blocks; default precision silently
+        # computes bf16 and deviated 16-20% through the scale-30 softmax,
+        # scripts/validate_kernels_chip.py round 5).  f32 storage is the
+        # exactness-compat route, so its full backward recomputes through
+        # XLA pinned to true-f32 matmuls; the Pallas forward stays
+        # (chip-validated 9.2e-6).  bf16 keeps the fused dX kernel.
+        q = q_pad[:P].astype(jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            _, vjp = jax.vjp(
+                lambda q_, x_: coattn_pool_reference(q_, x_, mask, scale),
+                q, x)
+            dq, dx = vjp(g)
+        return dq, dx, None, None
     P_pad = q_pad.shape[0]
     g_pad = jnp.pad(g, ((0, 0), (0, P_pad - P), (0, 0))) if P_pad != P else g
     dx, dq = _coattn_pallas_bwd(q_pad.astype(jnp.float32), x, mask, scale,
