@@ -59,10 +59,11 @@ _T0 = time.monotonic()
 # "skipped" notes rather than risking the driver's external timeout (rc 124)
 BUDGET_S = float(_os.environ.get("VLSA_TPU_BENCH_BUDGET_S", "480"))
 
-# Defaults = the measured-best configuration (docs/PERF.md round-4 B-sweep,
-# BSWEEP.json): B=1024 is the throughput knee (37.7k slides/s int8; 512→1024
-# is +8.5% but 1024→2048 only +4% for 2x the memory and step latency — and
-# B=2048 leaves no HBM for the bf16 secondary lane).  int8 feature storage
+# Defaults = the measured-best configuration (docs/PERF.md round-4 B-sweep
+# + round-5 tile bump, BSWEEP.json): B=1024 is the throughput knee (41.1k
+# slides/s int8 at the round-5 5120 tile; 512→1024 is +8.5% but 1024→2048
+# only +4% for 2x the memory and step latency — and B=2048 leaves no HBM
+# for the bf16 secondary lane).  int8 feature storage
 # halves the HBM stream and carries task-level accuracy evidence
 # (INT8_ACCURACY.json, multi-seed, both loss families).  The bf16
 # near-reference-numerics lane is measured alongside every run when the
@@ -420,9 +421,11 @@ def main():
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    # best-of-2: a single one-way tunnel stall otherwise pollutes the number
+    # best-of-3: single one-way tunnel stalls otherwise pollute the number
+    # (round 5 observed a 10.74 ms infer read vs 8.2-8.3 ms on every
+    # neighbouring run at identical config; ~2.5 s per extra rep is cheap)
     t_train = float("inf")
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.perf_counter()
         params, opt_state, loss = train_scan_jit(params, opt_state, feats,
                                                  mask, t, e, key,
@@ -432,7 +435,7 @@ def main():
         t_train = min(t_train, (time.perf_counter() - t0) / SCAN_N)
 
     t_infer = float("inf")
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.perf_counter()
         out = infer_scan_jit(params, feats, mask, x_scale=x_scale, x_inv=x_inv)
         _ = float(out.sum())

@@ -57,14 +57,17 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 # Patch-axis tile for the flash-style streaming kernels.  2560 won the
-# on-chip v5e sweeps for bf16/int8 storage (fwd+bwd, B=128 x 10240 x 512:
-# bf16 2048/2560 tie at 4.18 ms; int8+inv 1024 -> 3.44, 2048 -> 2.63,
-# 2560 -> 2.57 ms; 5120+ exceed VMEM — docs/PERF.md).  f32 storage doubles
-# the per-tile VMEM footprint (operands + in-kernel f32 temporaries), so it
-# keeps the validated 2048 tile instead of risking a Mosaic VMEM failure the
-# divisibility-only fallback chain cannot catch.  Both overridable for other
-# TPU generations.  Non-divisible N falls back down the chain.
+# round-3 on-chip v5e sweeps for bf16 storage (fwd+bwd, B=128 x 10240 x
+# 512: bf16 2048/2560 tie at 4.18 ms; bf16 5120 exceeds VMEM — chip-tested
+# again round 5).  int8 streams 1 byte/feature, so ITS ceiling is higher:
+# 5120 compiles and is ~10% faster end to end (round-5 chip A/B at
+# B=1024/N=10240: 37.6k -> 41.3k slides/s; identical kernel numerics,
+# KERNELS_CHIP tolerances re-verified at 5120; 10240 exceeds scoped VMEM
+# by 180K).  f32 storage halves the tile again for the round-5
+# precision=HIGHEST multi-pass expansion.  All overridable for other TPU
+# generations.  Non-divisible N falls back down the chain.
 _BLOCK_N = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N", "2560"))
+_BLOCK_N_I8 = int(os.environ.get("VLSA_TPU_COATTN_BLOCK_N_I8", "5120"))
 # f32 tiles: 1024, not 2048 — the true-f32 dots (_dotf precision=HIGHEST,
 # round 5) expand to multi-pass MXU programs whose VMEM footprint no longer
 # fits a 2048 tile (chip-tested: 2048 fails to compile, 1024 validates at
@@ -77,8 +80,15 @@ INTERPRET = False   # set True (tests) to run the kernels in interpreter mode
 def _pick_block(N: int, dtype=None):
     """Largest tile from the dtype's chain that divides N (None if none
     does -> caller falls back to the XLA reference path)."""
-    top = _BLOCK_N_F32 if dtype == jnp.float32 else _BLOCK_N
-    for b in (top, 2048, 1024, 512, 256, 128):
+    if dtype == jnp.int8:
+        top = _BLOCK_N_I8
+    elif dtype == jnp.float32:
+        top = _BLOCK_N_F32
+    else:
+        top = _BLOCK_N
+    for b in (top, 2560, 2048, 1024, 512, 256, 128):
+        if b > top:
+            continue   # the fallback chain must never exceed the dtype cap
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
             return b
