@@ -57,6 +57,10 @@ def test_dx_block_chain_fits_vmem_budget():
         assert b16 is None or 2 * 2 * b16 * 512 * 2 <= 16 * 1024 * 1024
         a32 = ab.pick_block(N, jnp.float32)
         assert a32 is None or a32 <= 512
+        ai8 = ab.pick_block(N, jnp.int8)
+        assert ai8 is None or ai8 <= 2560
+        ab16 = ab.pick_block(N, jnp.bfloat16)
+        assert ab16 is None or ab16 <= 1280
         # chip-measured ceilings (round 5): int8 5120 compiles, 10240
         # exceeds scoped VMEM by 180K; bf16 caps at 2560; the fallback
         # chain must never exceed the dtype cap

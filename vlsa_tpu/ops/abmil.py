@@ -37,8 +37,12 @@ Array = jax.Array
 
 # 1280 won the on-chip v5e sweep with bf16 streaming (B=64 x N=10240 x
 # D=512 full train step: f32@1024 8.16 ms -> bf16@1024 7.49 -> bf16@1280
-# 7.26 ms; 2048 exceeds VMEM) — examples/bench_abmil.py
+# 7.26 ms; bf16@2560 fails to compile) — examples/bench_abmil.py.
+# int8 streams 1 byte/feature so its ceiling is higher: 2560 compiles and
+# is ~6% faster (round-5 chip A/B: q8 7.90 -> 7.44 ms/step at B=64; 5120
+# fails to compile) — numerics re-verified at 2560.
 _BLOCK_N = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N", "1280"))
+_BLOCK_N_I8 = int(os.environ.get("VLSA_TPU_ABMIL_BLOCK_N_I8", "2560"))
 
 
 def pick_block(N: int, dtype=None):
@@ -51,8 +55,15 @@ def pick_block(N: int, dtype=None):
     ~2e-6 vs a true-f32 XLA reference (scripts/validate_kernels_chip.py
     — the round-3 on-chip sweep only ever ran f32 at 1024 with the old
     silently-bf16 dots, so none of this was visible)."""
-    top = min(_BLOCK_N, 512) if dtype == jnp.float32 else _BLOCK_N
-    for b in (top, 1280, 1024, 512, 256, 128):
+    if dtype == jnp.int8:
+        top = _BLOCK_N_I8
+    elif dtype == jnp.float32:
+        top = min(_BLOCK_N, 512)
+    else:
+        top = _BLOCK_N
+    for b in (top, 2560, 1280, 1024, 512, 256, 128):
+        if b > top:
+            continue   # the fallback chain must never exceed the dtype cap
         b = min(b, N)
         if b % 128 == 0 and N % b == 0:
             return b
@@ -364,7 +375,7 @@ def _abmil_q8_kernel(x_ref, xs_ref, mask_ref, w1_ref, b1_ref, w2_ref,
 def _abmil_q8_pallas(x, x_scale, mask, w1, b1, w2):
     B, N, D = x.shape
     hid = w1.shape[0]
-    block_n = pick_block(N)
+    block_n = pick_block(N, jnp.int8)
     assert block_n is not None
     n_blocks = N // block_n
     kernel = functools.partial(_abmil_q8_kernel, n_blocks=n_blocks)
@@ -460,7 +471,7 @@ def _abmil_q8_bwd_kernel(x_ref, xs_ref, mask_ref, w1_ref, b1_ref, w2_ref,
 def _abmil_q8_pallas_bwd(x, x_scale, mask, w1, b1, w2, g, out, stats):
     B, N, D = x.shape
     hid = w1.shape[0]
-    block_n = pick_block(N)
+    block_n = pick_block(N, jnp.int8)
     n_blocks = N // block_n
     kernel = functools.partial(_abmil_q8_bwd_kernel, n_blocks=n_blocks)
     dw1, db1, dw2 = pl.pallas_call(
