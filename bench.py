@@ -870,7 +870,10 @@ def main():
                      "loops both in Python)"),
         }
 
-    lane("interpretation", est_s=75.0,
+    # est covers a cold-cache compile of the vmapped Shapley program
+    # (observed 151 s; ~60 s warm) — understating it made a full run
+    # overshoot the wall-clock budget by 70 s (round-5 rehearsal)
+    lane("interpretation", est_s=150.0,
          enabled=_os.environ.get("VLSA_TPU_BENCH_INTERP", "1") == "1",
          fn=run_interp)
 
