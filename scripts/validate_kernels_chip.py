@@ -16,6 +16,7 @@ Checks (each production path bench.py exercises):
   * coattn f32, full backward (dQ + dX)          — ref model/deepmil.py:185-204
   * coattn f32, stop-gradient (dQ-only)          — the production f32 route
   * coattn bf16 storage, stop-gradient (dQ-only) — the bf16 lane
+  * coattn bf16 storage, full backward (dQ + dX) — the use_feat_proj route
   * coattn int8 + host inv-norms, stop-gradient  — the headline int8 lane
   * ABMIL f32 fused fwd + full backward          — SA-handler production path
   * ABMIL q8 fused fwd + weight-grads backward   — SA int8 lane
@@ -87,6 +88,7 @@ def run_checks(B: int = 8, N: int = 10240, C: int = 512, P: int = 12,
         "coattn_f32":  {"fwd": 1e-4, "dq": 1e-3, "dx": 1e-3},
         "coattn_f32_nodx": {"fwd": 1e-4, "dq": 1e-3},
         "coattn_bf16": {"fwd": 1e-3, "dq": 2e-3},
+        "coattn_bf16_dx": {"dq": 2e-3, "dx": 2e-2},
         "coattn_int8": {"fwd": 1e-3, "dq": 2e-3},
         "abmil_f32":   {"fwd": 1e-4, "dw": 1e-3, "dx": 1e-3},
         "abmil_q8":    {"fwd": 1e-3, "dw": 2e-3},
@@ -166,6 +168,18 @@ def run_checks(B: int = 8, N: int = 10240, C: int = 512, P: int = 12,
             co.coattn_pool_reference(q_, x_as32, mask, 30.0) ** 2)), q)
         return {"fwd": fwd_dev, "dq": _rel(dq_k, dq_r)}
     check("coattn_bf16", _coattn_bf16)
+
+    # ---- coattn bf16 full backward (use_feat_proj route: dX written in
+    # the bf16 storage dtype, hence the looser dX bound) ----
+    def _coattn_bf16_dx():
+        gk = jax.jit(jax.grad(lambda q_, x_: jnp.sum(co.coattn_pool(
+            q_, x_, mask, scale, use_pallas=True) ** 2),
+            argnums=(0, 1)))(q, xb)
+        gr = ref_call(jax.grad(lambda q_, x_: jnp.sum(
+            co.coattn_pool_reference(q_, x_, mask, 30.0) ** 2),
+            argnums=(0, 1)), q, x_as32)
+        return {"dq": _rel(gk[0], gr[0]), "dx": _rel(gk[1], gr[1])}
+    check("coattn_bf16_dx", _coattn_bf16_dx)
 
     # ---- coattn int8 + host inv norms (the headline int8 lane) ----
     x_i_np, s_np = quantize_feats_int8(x_f)
